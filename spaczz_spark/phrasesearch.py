@@ -1,0 +1,276 @@
+"""Phrase search core: scan / optimize / overlap-filter (SURVEY.md §2.2 P1-P4).
+
+Reimplements — from the documented semantics, not the code — the reference's
+two-phase phrase search (reference: ``_search/phrasesearcher.py:79-321``):
+
+1. ``scan``     (P1): stride-1 windows of ``len(query)`` tokens scored with a
+   cheap gate ``min_r1`` — the recall-oriented candidate pass. In the
+   distributed engine this role is played by MinHash/LSH; the faithful
+   per-document form here powers the FuzzyMatcher surface and the golden-value
+   parity tests.
+2. ``optimize`` (P2): greedy boundary flexing (±f tokens, six variants per
+   step, early break on no improvement, skipped when the scan ratio already
+   meets ``thresh``), gated by ``min_r2``.
+3. parameter resolution (P3): ``flex``/``min_r1``/``min_r2``/``thresh``
+   coherence rules.
+4. ``filter_overlapping_matches`` (P4): greedy interval dedup on
+   (-ratio, start)-sorted matches.
+
+This module is pure Python and driver/executor agnostic; the distributed
+fan-out lives in ``spaczz_spark.operators.matcher``.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from .ratios import compare
+from .tokenizer import TokenDoc, tokenize
+
+__all__ = [
+    "FlexWarning",
+    "RatioWarning",
+    "calc_flex",
+    "set_ratios",
+    "check_ratios",
+    "scan",
+    "optimize",
+    "filter_overlapping_matches",
+    "match",
+]
+
+SearchResult = tuple[int, int, int]  # (token start, token end, ratio)
+
+
+class FlexWarning(UserWarning):
+    """flex value was clamped into [0, len(query)]."""
+
+
+class RatioWarning(UserWarning):
+    """min_r1/min_r2/thresh were adjusted for coherence."""
+
+
+# ---------------------------------------------------------------------------
+# P3 — parameter resolution (reference: phrasesearcher.py:228-321)
+# ---------------------------------------------------------------------------
+
+
+def calc_flex(query_len: int, flex: int | str = "default") -> int:
+    """Resolve flex: 'default' -> len//2, 'max' -> len, 'min' -> 0; ints are
+    clamped into [0, len] with a FlexWarning."""
+    if flex == "default":
+        return query_len // 2
+    if flex == "max":
+        return query_len
+    if flex == "min":
+        return 0
+    if isinstance(flex, int) and not isinstance(flex, bool):
+        if flex > query_len:
+            warnings.warn(
+                f"flex {flex} > len(query) {query_len}; clamping to {query_len}",
+                FlexWarning,
+                stacklevel=2,
+            )
+            return query_len
+        if flex < 0:
+            warnings.warn("flex < 0; clamping to 0", FlexWarning, stacklevel=2)
+            return 0
+        return flex
+    raise TypeError("flex must be 'default', 'max', 'min', or an int")
+
+
+def set_ratios(
+    min_r: int, min_r1: int | None = None, min_r2: int | None = None
+) -> tuple[int, int]:
+    """Default the two-phase gates from min_r: min_r1=round(min_r/1.5),
+    min_r2=min_r."""
+    r1 = min_r1 if min_r1 is not None else round(min_r / 1.5)
+    r2 = min_r2 if min_r2 is not None else min_r
+    return r1, r2
+
+
+def check_ratios(
+    min_r1: int, min_r2: int, thresh: int, flex: int
+) -> tuple[int, int, int]:
+    """Coherence: with flex, enforce min_r1 <= min_r2 <= thresh (warning);
+    without flex the scan is final so min_r1 = min_r2."""
+    if flex:
+        if min_r1 > min_r2:
+            warnings.warn(
+                "min_r1 > min_r2; setting min_r1 = min_r2", RatioWarning, stacklevel=2
+            )
+            min_r1 = min_r2
+        if thresh < min_r2:
+            warnings.warn(
+                "thresh < min_r2; setting thresh = min_r2", RatioWarning, stacklevel=2
+            )
+            thresh = min_r2
+    else:
+        min_r1 = min_r2
+    return min_r1, min_r2, thresh
+
+
+# ---------------------------------------------------------------------------
+# P1 — scan (reference: phrasesearcher.py:179-226)
+# ---------------------------------------------------------------------------
+
+
+def scan(
+    doc: TokenDoc,
+    query: TokenDoc,
+    *,
+    min_r1: int,
+    ignore_case: bool = True,
+    fuzzy_func: str = "simple",
+) -> dict[int, int] | None:
+    """Stride-1 candidate scan: {start index -> ratio} for windows of
+    len(query) tokens whose ratio >= min_r1 (>0 when min_r1 == 0)."""
+    doc_len = len(doc)
+    query_len = len(query)
+    if not query_len:
+        return None
+    qtext = query.span_text(0, query_len)
+    gate = min_r1 if min_r1 else 1
+    out: dict[int, int] = {}
+    for i in range(doc_len - query_len + 1):
+        r = compare(
+            qtext,
+            doc.span_text(i, i + query_len),
+            min_r=gate,
+            ignore_case=ignore_case,
+            fuzzy_func=fuzzy_func,
+        )
+        if r:
+            out[i] = r
+    return out or None
+
+
+# ---------------------------------------------------------------------------
+# P2 — optimize (reference: phrasesearcher.py:79-177)
+# ---------------------------------------------------------------------------
+
+
+def optimize(
+    doc: TokenDoc,
+    query: TokenDoc,
+    match_values: dict[int, int],
+    pos: int,
+    *,
+    flex: int,
+    min_r2: int,
+    thresh: int = 100,
+    ignore_case: bool = True,
+    fuzzy_func: str = "simple",
+) -> SearchResult | None:
+    """Greedy boundary flexing around one scan hit; returns the best
+    (start, end, ratio) if ratio >= min_r2, else None."""
+    doc_len = len(doc)
+    qtext = query.span_text(0, len(query))
+
+    def cmp(lo: int, hi: int, cutoff: int) -> int:
+        return compare(
+            qtext,
+            doc.span_text(lo, hi),
+            min_r=cutoff,
+            ignore_case=ignore_case,
+            fuzzy_func=fuzzy_func,
+        )
+
+    p_l = bp_l = pos
+    p_r = bp_r = pos + len(query)
+    r = match_values[pos]
+    if flex and r < thresh:
+        optim_r = r
+        for f in range(1, flex + 1):
+            # Six boundary variants per step: move left edge out/in, right
+            # edge in/out, both out, both in — keep any strict improvement
+            # (the cutoff makes non-improvements return 0).
+            candidates = []
+            if p_l - f >= 0:
+                candidates.append((p_l - f, p_r))
+            if p_l + f < p_r:
+                candidates.append((p_l + f, p_r))
+            if p_r - f > p_l:
+                candidates.append((p_l, p_r - f))
+            if p_r + f <= doc_len:
+                candidates.append((p_l, p_r + f))
+            if p_l - f >= 0 and p_r + f <= doc_len:
+                candidates.append((p_l - f, p_r + f))
+            if p_l + f < p_r and p_r - f > p_l:
+                candidates.append((p_l + f, p_r - f))
+            for lo, hi in candidates:
+                new_r = cmp(lo, hi, optim_r)
+                if new_r:
+                    optim_r = new_r
+                    bp_l, bp_r = lo, hi
+            if optim_r == r:
+                break
+            r = optim_r
+    if r >= min_r2:
+        return (bp_l, bp_r, r)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# P4 — overlap filter (reference: searchutil.py:13-41)
+# ---------------------------------------------------------------------------
+
+
+def filter_overlapping_matches(matches) -> list[SearchResult]:
+    """Greedy interval dedup: expects (-ratio, start) pre-sorted input; keeps
+    a match iff its token range intersects no previously kept match."""
+    kept: list[SearchResult] = []
+    for m in matches:
+        if not any(m[0] < k[1] and k[0] < m[1] for k in kept):
+            kept.append(m)
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# Full match (reference: phrasesearcher.py:32-77)
+# ---------------------------------------------------------------------------
+
+
+def match(
+    doc: TokenDoc | str,
+    query: TokenDoc | str,
+    *,
+    min_r: int = 75,
+    thresh: int = 100,
+    min_r1: int | None = None,
+    min_r2: int | None = None,
+    flex: int | str = "default",
+    ignore_case: bool = True,
+    fuzzy_func: str = "simple",
+) -> list[SearchResult]:
+    """Two-phase fuzzy phrase search over one document."""
+    if isinstance(doc, str):
+        doc = tokenize(doc)
+    if isinstance(query, str):
+        query = tokenize(query)
+    flex_ = calc_flex(len(query), flex)
+    r1, r2 = set_ratios(min_r, min_r1, min_r2)
+    r1, r2, thresh_ = check_ratios(r1, r2, thresh, flex_)
+    match_map = scan(
+        doc, query, min_r1=r1, ignore_case=ignore_case, fuzzy_func=fuzzy_func
+    )
+    if not match_map:
+        return []
+    results = []
+    for pos in match_map:
+        res = optimize(
+            doc,
+            query,
+            match_map,
+            pos,
+            flex=flex_,
+            min_r2=r2,
+            thresh=thresh_,
+            ignore_case=ignore_case,
+            fuzzy_func=fuzzy_func,
+        )
+        if res:
+            results.append(res)
+    if not results:
+        return []
+    return filter_overlapping_matches(sorted(results, key=lambda x: (-x[2], x[0])))
