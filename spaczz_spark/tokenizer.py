@@ -22,7 +22,7 @@ from typing import NamedTuple
 
 __all__ = ["Token", "TokenDoc", "tokenize"]
 
-_PUNCT = set(".,;:!?()[]{}<>\"“”‘’…«»~*&%$#@^|/\\")
+_PUNCT = set(".,;:!?()[]{}<>\"'`“”‘’…«»~*&%$#@^|/\\")
 _SUFFIXES = ("n't", "'s", "'m", "'re", "'ve", "'ll", "'d")
 
 
