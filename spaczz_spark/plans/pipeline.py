@@ -1,0 +1,272 @@
+"""The resumable dedup pipeline DAG (SURVEY.md §3.1 Spark lifecycle).
+
+Stage graph (each ``->`` a committed, resumable checkpoint):
+
+    files (Iceberg/parquet)
+      -> normalized      file_id = xxhash64(repo,path,commit), sha256 invariant
+      -> exact collapse  group identical sha256 -> one representative
+                         (kills quadratic LSH buckets from boilerplate BEFORE
+                         they exist; the removed members rejoin via star edges)
+      -> signatures      shingles (JVM) + MinHash-128 / SimHash-64 (pandas UDFs)
+      -> candidate_pairs MinHash banding ∪ SimHash blocking ∪ winnowed
+                         substring fingerprints (skew-capped bucket joins)
+      -> verified_pairs  sha fast path / exact Jaccard (JVM) / InDel kernel
+                         (gated pandas UDF); best-ratio per pair (M4 semantics)
+      -> components      large-star/small-star CC + final assignment with
+                         provenance (M5/M9 semantics)
+
+Scale notes (10^12-file design):
+- every stage output is partitioned/bucketable by file_id (stable hash id);
+  on Iceberg the tables are bucket(file_id) so verify-joins and CC
+  iterations co-locate.
+- the only all-to-all exchanges are the LSH bucket joins (keyed on band
+  hash, capped per bucket) and the pair-verification content join; both run
+  under AQE with skew-join splitting.
+- nothing ever collects to the driver except per-stage counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.signatures import normalize, with_shingles, with_signatures
+from ..operators.components import attach_components, connected_components
+from ..operators.lsh import minhash_candidates, simhash_candidates
+from ..operators.substring import substring_candidates, verify_substring_pairs
+from ..operators.verify import verify_pairs
+from ..sources.catalog import CheckpointCatalog
+from .config import DedupConfig
+
+__all__ = ["DedupPipeline", "recommended_session"]
+
+
+def recommended_session(
+    app: str = "spaczz-dedup",
+    master: str = "local[32]",
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """SparkSession with the engine's recommended scale configuration."""
+    return (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: DedupConfig,
+        checkpoint_root: str,
+        use_iceberg: bool = False,
+    ):
+        self.spark = spark
+        self.config = config
+        self.catalog = CheckpointCatalog(spark, checkpoint_root, use_iceberg)
+        self.metrics: dict[str, int | float | str] = {}
+
+    # -- stages ---------------------------------------------------------------
+
+    def _stage(self, name: str, build, **write_kwargs) -> DataFrame:
+        """Resume-or-build one checkpointed stage."""
+        h = self.config.config_hash()
+        cached = self.catalog.read_if_valid(name, h)
+        if cached is not None:
+            self.metrics[f"{name}_resumed"] = 1
+            return cached
+        df = build()
+        committed = self.catalog.write(name, df, h, **write_kwargs)
+        manifest = self.catalog.manifest(name) or {}
+        self.metrics[f"{name}_rows"] = manifest.get("rows", -1)
+        return committed
+
+    def run(self, files: DataFrame) -> DataFrame:
+        """Execute (or resume) the full pipeline; returns the final
+        (repo, path, commit, lang, file_id, content_sha256, component_id,
+        stage provenance) assignment table."""
+        cfg = self.config
+        _, min_r2, _ = cfg.resolved_ratios()
+
+        norm = self._stage("normalized", lambda: normalize(files))
+
+        # ---- exact collapse (sha256 groups -> representatives) -------------
+        def build_reps():
+            w = Window.partitionBy("content_sha256")
+            return norm.withColumn("rep_id", F.min("file_id").over(w))
+
+        with_rep = self._stage("rep_assignment", build_reps)
+        reps = with_rep.where(F.col("file_id") == F.col("rep_id"))
+        exact_edges = (
+            with_rep.where(F.col("file_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("a_id"),
+                F.col("file_id").alias("b_id"),
+                F.lit("exact").alias("stage"),
+                F.lit(1.0).alias("jaccard"),
+                F.lit(100).alias("edit_ratio"),
+                F.lit("sha").alias("verified_by"),
+            )
+        )
+
+        # ---- signatures -----------------------------------------------------
+        def build_signatures():
+            shingled = with_shingles(reps, cfg.shingle_k)
+            return with_signatures(shingled, cfg.num_perm, cfg.seed).select(
+                "file_id", "content_sha256", "content", "n_bytes",
+                "shingles", "n_shingles", "minhash", "simhash",
+            )
+
+        signatures = self._stage("signatures", build_signatures)
+
+        # ---- candidates -----------------------------------------------------
+        def build_candidates():
+            mh = minhash_candidates(
+                signatures, cfg.bands, cfg.rows, cfg.bucket_cap
+            )
+            sh = simhash_candidates(signatures, cfg.max_hamming, cfg.bucket_cap)
+            # one row per (pair, source-stage); set-similarity pairs deduped
+            # with minhash taking precedence (M4: union of match sources)
+            sim_pairs = (
+                mh.unionByName(sh)
+                .groupBy("a_id", "b_id")
+                .agg(F.min("stage").alias("stage"))
+            )
+            sub = substring_candidates(
+                signatures,
+                k=cfg.substring_k,
+                w=cfg.substring_w,
+                bucket_cap=cfg.bucket_cap,
+                min_bytes=cfg.substring_min_len,
+            )
+            # substring pairs already covered by set-similarity are redundant
+            sub_only = sub.join(sim_pairs, ["a_id", "b_id"], "left_anti")
+            return sim_pairs.unionByName(sub_only)
+
+        candidates = self._stage("candidate_pairs", build_candidates)
+
+        # ---- verification ---------------------------------------------------
+        def build_verified():
+            sim_cand = candidates.where(F.col("stage") != "substring")
+            sub_cand = candidates.where(F.col("stage") == "substring")
+            v1 = verify_pairs(
+                sim_cand,
+                signatures,
+                min_r2=min_r2,
+                jaccard_min=cfg.jaccard_min,
+                jaccard_floor=cfg.jaccard_floor,
+            )
+            v2 = verify_substring_pairs(
+                sub_cand, signatures, min_len=cfg.substring_min_len
+            )
+            allv = v1.unionByName(v2)
+            # best record per pair (reference M4: keep max-ratio entry per key)
+            w = Window.partitionBy("a_id", "b_id").orderBy(
+                F.desc_nulls_last("edit_ratio"), F.desc_nulls_last("jaccard")
+            )
+            return (
+                allv.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+
+        verified = self._stage("verified_pairs", build_verified)
+
+        # ---- components ------------------------------------------------------
+        def build_components():
+            edges = verified.select("a_id", "b_id").unionByName(
+                exact_edges.select("a_id", "b_id")
+            )
+            labels, iters = connected_components(edges)
+            self.metrics["cc_iterations"] = iters
+            assigned = attach_components(
+                norm.select("repo", "path", "commit", "lang", "file_id",
+                            "content_sha256"),
+                labels,
+            )
+            # provenance (M9): which stages joined this component, best ratios
+            prov = (
+                verified.unionByName(exact_edges)
+                .select(
+                    F.explode(F.array("a_id", "b_id")).alias("file_id"),
+                    "stage", "jaccard", "edit_ratio",
+                )
+                .groupBy("file_id")
+                .agg(
+                    F.collect_set("stage").alias("stages"),
+                    F.max("jaccard").alias("max_jaccard"),
+                    F.max("edit_ratio").alias("max_edit_ratio"),
+                )
+            )
+            return assigned.join(prov, "file_id", "left")
+
+        return self._stage("components", build_components)
+
+    # -- metrics (M8) ----------------------------------------------------------
+
+    def pair_recall(
+        self, components: DataFrame, truth_pairs: DataFrame
+    ) -> float:
+        """Fraction of planted duplicate pairs assigned to one component.
+
+        ``truth_pairs`` has (a_key, b_key) where key = repo\\x1f path\\x1f commit.
+        """
+        keyed = components.withColumn(
+            "file_key",
+            F.concat_ws("\x1f", "repo", "path", "commit"),
+        ).select("file_key", "component_id")
+        t = (
+            truth_pairs.join(
+                keyed.withColumnsRenamed(
+                    {"file_key": "a_key", "component_id": "a_comp"}
+                ),
+                "a_key",
+            )
+            .join(
+                keyed.withColumnsRenamed(
+                    {"file_key": "b_key", "component_id": "b_comp"}
+                ),
+                "b_key",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("a_comp") == F.col("b_comp"), 1).otherwise(0)
+                ).alias("hit"),
+            )
+            .collect()[0]
+        )
+        n, hit = int(t["n"]), int(t["hit"] or 0)
+        recall = hit / n if n else 1.0
+        self.metrics["truth_pairs"] = n
+        self.metrics["truth_pairs_recalled"] = hit
+        self.metrics["pair_recall"] = recall
+        return recall
+
+    def sha_invariant_holds(self, files: DataFrame, components: DataFrame) -> bool:
+        """Per-row invariant: sha256(content) of the input equals the
+        sha256 carried through every stage into the final assignment."""
+        lhs = normalize(files).select("file_id", "content_sha256")
+        mismatches = (
+            lhs.join(
+                components.select(
+                    "file_id", F.col("content_sha256").alias("out_sha")
+                ),
+                "file_id",
+            )
+            .where(F.col("content_sha256") != F.col("out_sha"))
+            .count()
+        )
+        missing = lhs.count() - components.count()
+        self.metrics["sha_mismatches"] = mismatches
+        self.metrics["rows_missing"] = missing
+        return mismatches == 0 and missing == 0

@@ -1,0 +1,113 @@
+"""Checkpoint catalog: committed stage tables with resume semantics.
+
+Production path: an Iceberg catalog — each stage is
+``df.writeTo(f"{ns}.{name}").createOrReplace()`` and resume reads the last
+committed snapshot (config-hash match checked against snapshot summary
+properties). This sandbox has no Iceberg runtime jar, so the same contract
+is implemented over partitioned Parquet plus an atomic JSON manifest:
+
+    write temp dir -> write manifest.tmp -> os.replace (atomic rename)
+
+A stage table is valid iff its manifest exists AND the recorded config hash
+matches the current run config — config changes invalidate downstream
+checkpoints automatically (the hash covers every semantic knob: shingle k,
+permutations, bands/rows, thresholds, seeds).
+
+The manifest also records per-stage lineage counters (rows in/out,
+candidates, verified pairs — the north rule's metrics requirement), so a
+resumed run can report the full pipeline history without recomputation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["CheckpointCatalog"]
+
+
+class CheckpointCatalog:
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False,
+                 namespace: str = "dedup"):
+        self.spark = spark
+        self.root = root
+        self.use_iceberg = use_iceberg
+        self.namespace = namespace
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.manifest.json")
+
+    # -- API -----------------------------------------------------------------
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        config_hash: str,
+        *,
+        partition_by: list[str] | None = None,
+        metrics: dict | None = None,
+    ) -> DataFrame:
+        """Commit a stage table; returns a reader over the committed data
+        (so downstream stages consume the checkpoint, truncating lineage)."""
+        if self.use_iceberg:  # pragma: no cover - needs Iceberg runtime jar
+            writer = df.writeTo(f"{self.namespace}.{name}").tableProperty(
+                "spaczz.config_hash", config_hash
+            )
+            writer.createOrReplace()
+            return self.spark.read.table(f"{self.namespace}.{name}")
+
+        path = self._dir(name)
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+
+        committed = self.spark.read.parquet(path)
+        manifest = {
+            "name": name,
+            "config_hash": config_hash,
+            "rows": committed.count(),
+            "schema": committed.schema.simpleString(),
+            "metrics": metrics or {},
+        }
+        mtmp = self._manifest(name) + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(mtmp, self._manifest(name))
+        return committed
+
+    def read_if_valid(self, name: str, config_hash: str) -> DataFrame | None:
+        """Read a committed stage table iff its manifest matches the config."""
+        meta = self.manifest(name)
+        if not meta or meta.get("config_hash") != config_hash:
+            return None
+        path = self._dir(name)
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest(name)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def invalidate(self, name: str) -> None:
+        try:
+            os.remove(self._manifest(name))
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(self._dir(name), ignore_errors=True)

@@ -1,0 +1,239 @@
+"""Deterministic synthetic source-code corpus generator (FIXTURES.md §1).
+
+Generates the dedup pipeline's input table
+``files(repo, path, commit, lang, content)`` — the schema fixed by
+BASELINE.json's input_hint — together with planted ground truth:
+
+- ``truth_pairs(a_id, b_id, kind)``  — every planted duplicate pair
+- ``truth_components(file_id, component_id)`` — expected cluster assignment
+
+Duplicate kinds mirror the reference's match semantics (see FIXTURES.md):
+exact, near_high (1-3% token edits), near_low (10-20% edits), reordered
+(block shuffle), substring (A embedded in B), boilerplate (one big exact-dup
+cluster) and negatives.
+
+Everything is seeded (seed=42 by default); no wall clock, no network. File
+ids are content-addressed ``xxhash64(repo, path, commit)`` computed by the
+engine, so the generator exposes the same key function here for truth tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+
+__all__ = ["generate_corpus", "file_key", "CorpusBundle"]
+
+_LANGS = ["python", "java", "js", "go", "md"]
+
+_KEYWORDS = {
+    "python": ["def", "return", "class", "import", "for", "if", "else", "while",
+               "try", "except", "with", "lambda", "yield", "raise", "pass"],
+    "java": ["public", "private", "static", "void", "class", "return", "new",
+             "final", "int", "String", "throws", "extends", "implements"],
+    "js": ["function", "const", "let", "var", "return", "async", "await",
+           "export", "import", "class", "new", "this"],
+    "go": ["func", "package", "import", "return", "var", "const", "type",
+           "struct", "interface", "go", "defer", "chan"],
+    "md": ["the", "a", "of", "and", "to", "in", "is", "for", "with", "on"],
+}
+
+_IDENT_PARTS = [
+    "load", "parse", "build", "run", "fetch", "merge", "split", "hash",
+    "index", "scan", "emit", "queue", "batch", "node", "edge", "token",
+    "shard", "block", "chunk", "field", "value", "count", "state", "config",
+]
+
+_LICENSE_HEADER = (
+    "# Licensed under the Apache License, Version 2.0 (the License);\n"
+    "# you may not use this file except in compliance with the License.\n"
+    "# You may obtain a copy of the License at http://www.apache.org/licenses/\n"
+)
+
+
+def file_key(repo: str, path: str, commit: str) -> str:
+    """Stable join key matching the engine's xxhash64 id inputs."""
+    return f"{repo}\x1f{path}\x1f{commit}"
+
+
+def _commit_of(rng: random.Random) -> str:
+    return "".join(rng.choice("0123456789abcdef") for _ in range(40))
+
+
+def _ident(rng: random.Random) -> str:
+    return "_".join(rng.sample(_IDENT_PARTS, rng.randint(1, 3)))
+
+
+def _gen_block(rng: random.Random, lang: str, n_lines: int) -> list[str]:
+    kw = _KEYWORDS[lang]
+    lines = []
+    for _ in range(n_lines):
+        words = [rng.choice(kw)] + [
+            rng.choice([_ident(rng), rng.choice(kw), str(rng.randint(0, 9999))])
+            for _ in range(rng.randint(2, 8))
+        ]
+        indent = "    " * rng.randint(0, 2)
+        lines.append(indent + " ".join(words))
+    return lines
+
+
+def _gen_content(rng: random.Random, lang: str, n_blocks: int = None) -> str:
+    blocks = []
+    for _ in range(n_blocks or rng.randint(3, 10)):
+        blocks.append("\n".join(_gen_block(rng, lang, rng.randint(3, 10))))
+    return "\n\n".join(blocks)
+
+
+def _edit_tokens(rng: random.Random, content: str, frac: float) -> str:
+    """Edit ~frac of whitespace tokens (rename/drop/dup) preserving length scale."""
+    toks = content.split(" ")
+    n_edit = max(1, int(len(toks) * frac))
+    idxs = rng.sample(range(len(toks)), min(n_edit, len(toks)))
+    for i in idxs:
+        op = rng.random()
+        if op < 0.6:
+            toks[i] = _ident(rng)  # rename
+        elif op < 0.8:
+            toks[i] = toks[i] + str(rng.randint(0, 99))  # mutate
+        else:
+            toks[i] = ""  # delete
+    return " ".join(t for t in toks if t)
+
+
+def _shuffle_blocks(rng: random.Random, content: str) -> str:
+    blocks = content.split("\n\n")
+    rng.shuffle(blocks)
+    return "\n\n".join(blocks)
+
+
+class CorpusBundle:
+    """files + truth tables as pandas DataFrames (parquet-ready)."""
+
+    def __init__(self, files: pd.DataFrame, truth_pairs: pd.DataFrame,
+                 truth_components: pd.DataFrame):
+        self.files = files
+        self.truth_pairs = truth_pairs
+        self.truth_components = truth_components
+
+
+def generate_corpus(
+    n_files: int = 500,
+    seed: int = 42,
+    boilerplate_cluster: int = 0,
+) -> CorpusBundle:
+    """Generate a corpus of ``n_files`` base files plus planted duplicates.
+
+    Roughly: 60% unique negatives, and 40% of base files get one or more
+    planted duplicates across the duplicate kinds. ``boilerplate_cluster``
+    additionally plants one exact-dup cluster of that size (hot-LSH-bucket /
+    skew exercise).
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    pair_rows: list[dict] = []  # (a_key, b_key, kind)
+    comp_edges: list[tuple[str, str]] = []
+
+    def add_file(repo: str, path: str, lang: str, content: str) -> str:
+        commit = _commit_of(rng)
+        rows.append(
+            {"repo": repo, "path": path, "commit": commit, "lang": lang,
+             "content": content}
+        )
+        return file_key(repo, path, commit)
+
+    # Skewed repo distribution: repo 0 is the "mega repo" (~30% of rows).
+    def pick_repo() -> str:
+        if rng.random() < 0.3:
+            return "org0/megarepo"
+        return f"org{rng.randint(1, 9)}/project{rng.randint(0, 19)}"
+
+    kinds_cycle = ["exact", "near_high", "near_low", "reordered", "substring"]
+    n_dup_bases = int(n_files * 0.4)
+
+    for i in range(n_files):
+        lang = rng.choice(_LANGS)
+        content = _gen_content(rng, lang)
+        repo = pick_repo()
+        path = f"src/module_{rng.randint(0, 50)}/file_{i}.{lang[:2]}"
+        base_key = add_file(repo, path, lang, content)
+
+        if i < n_dup_bases:
+            kind = kinds_cycle[i % len(kinds_cycle)]
+            if kind == "exact":
+                dup = content
+            elif kind == "near_high":
+                dup = _edit_tokens(rng, content, rng.uniform(0.01, 0.03))
+            elif kind == "near_low":
+                dup = _edit_tokens(rng, content, rng.uniform(0.10, 0.20))
+            elif kind == "reordered":
+                dup = _shuffle_blocks(rng, content)
+            else:  # substring: embed content inside a much larger host
+                host = _gen_content(rng, lang, n_blocks=rng.randint(15, 30))
+                cut = rng.randint(0, host.count("\n\n"))
+                blocks = host.split("\n\n")
+                blocks.insert(cut, content)
+                dup = "\n\n".join(blocks)
+            dup_key = add_file(
+                pick_repo(), f"vendor/copy_{i}.{lang[:2]}", lang, dup
+            )
+            pair_rows.append({"a_key": base_key, "b_key": dup_key, "kind": kind})
+            comp_edges.append((base_key, dup_key))
+
+    if boilerplate_cluster > 1:
+        header_body = _LICENSE_HEADER + _gen_content(rng, "python", n_blocks=2)
+        first_key = None
+        for j in range(boilerplate_cluster):
+            k = add_file(
+                pick_repo(), f"boilerplate/header_{j}.py", "python", header_body
+            )
+            if first_key is None:
+                first_key = k
+            else:
+                pair_rows.append(
+                    {"a_key": first_key, "b_key": k, "kind": "boilerplate"}
+                )
+                comp_edges.append((first_key, k))
+
+    files = pd.DataFrame(rows)
+
+    # Truth components: union-find over planted edges; component id = min key.
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    all_keys = [file_key(r["repo"], r["path"], r["commit"]) for r in rows]
+    for a, b in comp_edges:
+        union(a, b)
+    truth_components = pd.DataFrame(
+        {"file_key": all_keys, "component_key": [find(k) for k in all_keys]}
+    )
+    truth_pairs = pd.DataFrame(
+        pair_rows, columns=["a_key", "b_key", "kind"]
+    )
+    return CorpusBundle(files, truth_pairs, truth_components)
+
+
+def corpus_digest(files: pd.DataFrame) -> str:
+    """Order-insensitive sha256 digest of the corpus (determinism checks)."""
+    h = hashlib.sha256()
+    for row in sorted(
+        files.apply(lambda r: "|".join(r[c] for c in
+                                       ["repo", "path", "commit", "lang", "content"]),
+                    axis=1)
+    ):
+        h.update(row.encode())
+    return h.hexdigest()

@@ -1,0 +1,197 @@
+"""Unit tests for standalone operators: dedup, ANN, matcher, text, multimodal."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spaczz_spark.functions.text import (
+    doc_fingerprint,
+    make_lang_id_udf,
+    quality_score,
+    token_count,
+)
+from spaczz_spark.operators.ann import cosine_neardup_pairs, cosine_topk, lsh_cosine_pairs
+from spaczz_spark.operators.components import attach_components, connected_components
+from spaczz_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+)
+from spaczz_spark.operators.matcher import Pattern, match_patterns, ruler
+from spaczz_spark.operators.multimodal import decode_images, with_media_metadata
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (2, "the quick brown fox jumps over the lazy dog and runs far away"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog and runs far away"),  # near dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "My phone number is (555) 555-5555, call me"),
+        (6, "G-rant Anderson lives in TN with grant anderson"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    out = exact_duplicates(docs).collect()
+    assert {(r["group_id"], r["doc_id"]) for r in out} == {(1, 1), (1, 2)}
+    assert all(r["group_size"] == 2 for r in out)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    assert (1, 2) in pairs  # exact
+    assert (1, 3) in pairs and (2, 3) in pairs  # near
+    assert not any(4 in p for p in pairs)
+    exact = [r for r in out if (r["a_id"], r["b_id"]) == (1, 2)][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_equals_bruteforce(spark, docs):
+    brute = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_neardup_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert brute == lsh
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 12)], ["a_id", "b_id"]
+    )
+    labels, iters = connected_components(edges)
+    got = {r["file_id"]: r["component_id"] for r in labels.collect()}
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == 10
+    assert iters <= 5
+
+
+def test_attach_components_singletons(spark):
+    ids = spark.createDataFrame([(1,), (2,), (99,)], ["file_id"])
+    labels = spark.createDataFrame([(2, 1)], ["file_id", "component_id"])
+    got = {
+        r["file_id"]: r["component_id"]
+        for r in attach_components(ids, labels).collect()
+    }
+    assert got == {1: 1, 2: 1, 99: 99}
+
+
+def test_cosine_topk(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [2.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = cosine_topk(vecs, vecs, k=1).collect()
+    best = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert best[1] == 4  # same direction, normalized
+    assert best[4] == 1
+    assert best[3] == 2  # only one with positive y component
+
+
+def test_cosine_neardup_and_lsh_agree(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-dup of every 4th vector
+        if i % 4 == 0:
+            rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["a_id"], r["b_id"]) for r in cosine_neardup_pairs(df, threshold=0.98).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_cosine_pairs(df, threshold=0.98, n_bits=8, n_tables=16).collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_match_patterns_fuzzy_and_regex(spark, docs):
+    patterns = [
+        Pattern("NAME", "Grant Andersen", "fuzzy", {"min_r": 75}),
+        Pattern("PHONE", "phones", "regex", {"predef": True}),
+    ]
+    out = match_patterns(docs, patterns).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    assert len(by_label["PHONE"]) == 1 and by_label["PHONE"][0]["doc_id"] == 5
+    assert {r["doc_id"] for r in by_label["NAME"]} == {6}
+    assert len(by_label["NAME"]) == 2  # "G-rant Anderson" + "grant anderson"
+
+
+def test_ruler_resolves_overlaps(spark):
+    docs = spark.createDataFrame(
+        [(1, "grant andersen visited boston")], ["doc_id", "text"]
+    )
+    patterns = [
+        Pattern("NAME", "grant andersen", "fuzzy", {"min_r": 75}),
+        Pattern("FIRST", "grant", "fuzzy", {"min_r": 75}),
+    ]
+    out = ruler(docs, patterns).collect()
+    # longest span wins; FIRST overlaps and is dropped
+    assert len(out) == 1 and out[0]["label"] == "NAME"
+
+
+def test_text_functions(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        quality_score(F.col("text")).alias("q"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["n_tok"] == 13
+    assert rows[1]["fp"] == rows[2]["fp"]  # identical docs
+    assert rows[1]["fp"] != rows[4]["fp"]
+    assert 0.0 <= rows[4]["q"] <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the thing and the other thing for the winner"),
+            (2, "der einzige schöne Wagen und die schnelle Straße ich dich"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    udf = make_lang_id_udf()
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", udf("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_multimodal_fake_decode(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"imagebytes-1"), "image/png"),
+         (2, "image", bytearray(b"imagebytes-two"), "image/png")],
+        ["media_id", "kind", "data", "mime"],
+    )
+    meta = with_media_metadata(df).collect()
+    assert all(r["n_bytes"] > 0 and len(r["sha256"]) == 64 for r in meta)
+    decoded = decode_images(df, fake=True).collect()
+    assert len(decoded) == 2
+    d = {r["media_id"]: r for r in decoded}
+    assert 64 <= d[1]["width"] < 256 and d[1]["n_bytes"] == 12
+    # deterministic
+    decoded2 = decode_images(df, fake=True).collect()
+    assert sorted(map(tuple, decoded)) == sorted(map(tuple, decoded2))

@@ -1,0 +1,90 @@
+"""End-to-end pipeline tests: recall vs planted truth, sha invariant, resume."""
+
+import pytest
+
+from spaczz_spark.plans.config import DedupConfig
+from spaczz_spark.plans.pipeline import DedupPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tiny_corpus, tiny_files, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg, root)
+    components = pipe.run(tiny_files)
+    return pipe, components, root, cfg
+
+
+def test_components_schema(pipeline_run):
+    _, components, _, _ = pipeline_run
+    cols = set(components.columns)
+    assert {
+        "repo", "path", "commit", "lang", "file_id", "content_sha256",
+        "component_id", "stages", "max_jaccard", "max_edit_ratio",
+    } <= cols
+
+
+def test_every_file_assigned_exactly_once(pipeline_run, tiny_corpus):
+    _, components, _, _ = pipeline_run
+    n = components.count()
+    assert n == len(tiny_corpus.files)
+    assert components.select("file_id").distinct().count() == n
+
+
+def test_pair_recall_at_least_099(pipeline_run, spark, tiny_corpus):
+    pipe, components, _, _ = pipeline_run
+    truth = spark.createDataFrame(tiny_corpus.truth_pairs)
+    recall = pipe.pair_recall(components, truth)
+    assert recall >= 0.99, pipe.metrics
+
+
+def test_sha_invariant(pipeline_run, tiny_files):
+    pipe, components, _, _ = pipeline_run
+    assert pipe.sha_invariant_holds(tiny_files, components)
+
+
+def test_negatives_stay_apart(pipeline_run, spark, tiny_corpus):
+    """Precision guard: the planted-truth components must not be merged
+    wildly — number of multi-member components should be close to truth."""
+    _, components, _, _ = pipeline_run
+    truth_comps = tiny_corpus.truth_components
+    n_truth_clusters = (
+        truth_comps.groupby("component_key").size().loc[lambda s: s > 1].shape[0]
+    )
+    got = (
+        components.groupBy("component_id").count().where("count > 1").count()
+    )
+    # Allow small deviation (generator can emit accidental near-dups)
+    assert abs(got - n_truth_clusters) <= max(2, int(0.1 * n_truth_clusters)), (
+        got,
+        n_truth_clusters,
+    )
+
+
+def test_resume_is_identical_and_skips_work(pipeline_run, spark, tiny_files):
+    pipe, components, root, cfg = pipeline_run
+    first = sorted(
+        (r["file_id"], r["component_id"])
+        for r in components.select("file_id", "component_id").collect()
+    )
+    pipe2 = DedupPipeline(spark, cfg, root)
+    components2 = pipe2.run(tiny_files)
+    second = sorted(
+        (r["file_id"], r["component_id"])
+        for r in components2.select("file_id", "component_id").collect()
+    )
+    assert first == second
+    # every stage must have been resumed, not recomputed
+    resumed = [k for k in pipe2.metrics if k.endswith("_resumed")]
+    assert len(resumed) >= 6, pipe2.metrics
+
+
+def test_config_change_invalidates_checkpoints(spark, tiny_files, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt2"))
+    cfg = DedupConfig(jaccard_min=0.8)
+    pipe = DedupPipeline(spark, cfg, root)
+    pipe.run(tiny_files)
+    cfg2 = DedupConfig(jaccard_min=0.9)
+    pipe2 = DedupPipeline(spark, cfg2, root)
+    pipe2.run(tiny_files)
+    assert not any(k.endswith("_resumed") for k in pipe2.metrics), pipe2.metrics
