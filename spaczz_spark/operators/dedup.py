@@ -66,6 +66,30 @@ def exact_duplicates(
     )
 
 
+def fingerprint_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Formatting-insensitive duplicate groups via the normalization
+    fingerprint (md5 of lower-cased, whitespace-collapsed, trimmed text)."""
+    from ..functions.text import doc_fingerprint
+
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), doc_fingerprint(F.col(text_col)).alias("fp")
+    )
+    groups = (
+        hashed.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("group_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+    return groups.select(
+        "group_id", F.explode("members").alias("doc_id"), "group_size"
+    )
+
+
 def shingle_strings(toks: Column, k: int = 5) -> Column:
     """Distinct token k-shingle strings from a *materialized* token-array
     column (see functions.signatures.kgram_hashes for why it must be

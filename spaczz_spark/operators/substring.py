@@ -101,6 +101,68 @@ def substring_candidates(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    anchor_len: int = 64,
+    min_len: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact containment join: pairs (a, b) where a's full text appears
+    verbatim inside b's (and a is strictly shorter).
+
+    ANSI-SQL-mirrorable plan (the DuckDB oracle runs the same shape):
+    every length-``anchor_len`` substring of each potential host is hashed
+    and equi-joined against the prefix anchor of each candidate needle —
+    containment implies the needle's prefix occurs at some host offset, so
+    the anchor join has perfect recall; ``instr`` verifies exactly. Spark
+    side shuffles only (id, xxhash64(anchor)) pairs, not the substrings.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("len"),
+    )
+    needles = base.where(F.col("len") >= min_len).select(
+        F.col("doc_id").alias("a_id"),
+        F.xxhash64(F.substring("text", 1, anchor_len)).alias("anchor"),
+    )
+    hosts = base.where(F.col("len") > min_len).select(
+        F.col("doc_id").alias("b_id"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("len") - (anchor_len - 1), F.lit(1))
+                ),
+                lambda i: F.xxhash64(F.col("text").substr(i, F.lit(anchor_len))),
+            )
+        ).alias("anchor"),
+    ).distinct()
+    cand = (
+        needles.join(hosts, "anchor")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sides = cand.join(
+        base.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"),
+                    F.col("len").alias("a_len")),
+        "a_id",
+    ).join(
+        base.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"),
+                    F.col("len").alias("b_len")),
+        "b_id",
+    )
+    return (
+        sides.where(
+            (F.col("a_len") < F.col("b_len"))
+            & (F.expr("instr(b_text, a_text)") > 0)
+        )
+        .select("a_id", "b_id")
+    )
+
+
 def make_containment_udf(min_len: int = 100):
     """pandas UDF: partial containment ratio of the shorter side in the longer.
 

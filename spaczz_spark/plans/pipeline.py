@@ -55,6 +55,7 @@ def recommended_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", "8g")
@@ -148,9 +149,13 @@ class DedupPipeline:
                 bucket_cap=cfg.bucket_cap,
                 min_bytes=cfg.substring_min_len,
             )
-            # substring pairs already covered by set-similarity are redundant
-            sub_only = sub.join(sim_pairs, ["a_id", "b_id"], "left_anti")
-            return sim_pairs.unionByName(sub_only)
+            # NOTE: substring candidates are NOT anti-joined against the
+            # set-similarity candidates — a pair can band-collide in MinHash
+            # (likely even at Jaccard ~0.25), fail Jaccard/edit verification
+            # there, and still be a true verbatim-containment duplicate that
+            # only the containment verifier can accept. Both rows survive;
+            # the verified union keeps the best record per pair.
+            return sim_pairs.unionByName(sub)
 
         candidates = self._stage("candidate_pairs", build_candidates)
 

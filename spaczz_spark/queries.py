@@ -1,0 +1,636 @@
+"""Named queries + matching DuckDB oracle SQL (the driver's correctness gate).
+
+Every entry in QUERIES is a (spark, sf_dir) -> DataFrame callable; ORACLES
+holds the ANSI-SQL string DuckDB runs over the same inputs (driver
+pre-registers views region/nation/customer/supplier/part/orders/lineitem/
+events/documents/embeddings; the planted-truth `files` corpus is read via
+read_parquet from the committed fixture path).
+
+Design rules that make Spark-vs-DuckDB equality *deterministic*:
+- LSH-based queries are always exactly verified, and the banding config is
+  chosen so candidate recall at the verify threshold is 1 - O(1e-12) — the
+  verified output equals the brute-force oracle.
+- double outputs are rounded to 6 (and filters applied on the rounded
+  value); money aggregations run in DECIMAL so sums are order-independent.
+- every computed column is aliased identically on both sides.
+- ordering never matters (the driver hashes order-insensitively); ties in
+  top-k are broken by id on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.signatures import TOKEN_PATTERN
+from .functions.text import WORD_PATTERN, _STOPWORDS, doc_fingerprint, token_count
+from .operators.ann import dot, lsh_cosine_pairs
+from .operators.components import attach_components, connected_components
+from .operators.dedup import (
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+)
+from .operators.matcher import Pattern, ruler
+from .operators.substring import containment_pairs
+
+FIXTURE_ROOT = "/root/repo/fixtures"
+US = "\x1f"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def fixture_name(sf_dir: str) -> str:
+    return "tiny" if "0.001" in sf_dir else "small"
+
+
+def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(FIXTURE_ROOT, f"files_{fixture_name(sf_dir)}", "files.parquet")
+    return spark.read.parquet(path).withColumn(
+        "file_key", F.concat_ws(US, "repo", "path", "commit")
+    )
+
+
+_FILES_SMALL = f"{FIXTURE_ROOT}/files_small/files.parquet"
+
+# Token/shingle fragments shared by several oracles ------------------------
+
+_SQL_TOKS = (
+    "SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_PATTERN}') AS t FROM documents"
+)
+
+_SQL_SHINGLES = f"""
+toks AS ({_SQL_TOKS}),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [concat_ws(chr(31), t[i], t[i+1], t[i+2])
+     for i in range(1, greatest(len(t)-2, 1) + 1)])) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_id, b_id,
+         round(c / (na.n + nb.n - c), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = a_id
+  JOIN sizes nb ON nb.doc_id = b_id
+)
+"""
+
+# files-corpus SQL fragments (over the committed fixture parquet)
+
+_SQL_FILES = (
+    f"SELECT concat_ws(chr(31), repo, path, commit) AS file_key, content, "
+    f"length(content) AS len FROM read_parquet('{_FILES_SMALL}')"
+)
+
+_SQL_FILES_SHINGLES = f"""
+f AS ({_SQL_FILES}),
+toks AS (
+  SELECT file_key, regexp_extract_all(lower(content), '{TOKEN_PATTERN}') AS t
+  FROM f
+),
+sh AS (
+  SELECT file_key, unnest(list_distinct(
+    [concat_ws(chr(31), t[i], t[i+1], t[i+2])
+     for i in range(1, greatest(len(t)-2, 1) + 1)])) AS s
+  FROM toks
+),
+sizes AS (SELECT file_key, count(*) AS n FROM sh GROUP BY file_key),
+inter AS (
+  SELECT a.file_key AS a_key, b.file_key AS b_key, count(*) AS c
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.file_key < b.file_key
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a_key, b_key, round(c / (na.n + nb.n - c), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.file_key = a_key
+  JOIN sizes nb ON nb.file_key = b_key
+)
+"""
+
+# containment body assumes a CTE `f(file_key, content, len)` is in scope
+_SQL_CONTAINMENT_BODY = """
+needles AS (
+  SELECT file_key AS a_key, substr(content, 1, 64) AS anchor, content AS a_text,
+         len AS a_len
+  FROM f WHERE len >= 200
+),
+hosts AS (
+  SELECT file_key AS b_key, substr(content, i, 64) AS anchor, content AS b_text,
+         len AS b_len
+  FROM f, unnest(range(1, greatest(len - 63, 1) + 1)) AS r(i)
+  WHERE len > 200
+),
+contained AS (
+  SELECT DISTINCT a_key, b_key
+  FROM needles JOIN hosts USING (anchor)
+  WHERE a_key != b_key AND a_len < b_len AND strpos(b_text, a_text) > 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_doc_exact_dups(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint_dups(spark, sf_dir):
+    return fingerprint_duplicates(_docs(spark, sf_dir))
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
+def q_doc_minhash_neardup(spark, sf_dir):
+    # bands=128 x rows=1: candidate recall at jaccard 0.2 is
+    # 1 - (1-0.2)^128 = 1 - 4e-13 -> verified output == brute force.
+    return minhash_neardup_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.2, bands=128, rows=1
+    )
+
+
+def q_doc_lang_profile(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), 0)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)) / n_chars
+    digit = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), 0)) / n_chars
+    stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_words
+    score = (
+        F.when(n_words.between(10, 100000), F.lit(1.0)).otherwise(0.3) * 0.4
+        + F.when(punct < 0.3, F.lit(1.0)).otherwise(0.5) * 0.2
+        + F.when(digit < 0.3, F.lit(1.0)).otherwise(0.5) * 0.2
+        + F.when(stop > 0.05, F.lit(1.0)).otherwise(0.7) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def q_doc_token_fuzzy(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = F.explode(
+        F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), 0))
+    )
+    return (
+        d.select("doc_id", words.alias("word"))
+        .withColumn("dist", F.levenshtein("word", F.lit("table")))
+        .where(F.col("dist") <= 1)
+        .select("doc_id", "word", "dist")
+    )
+
+
+def q_events_windowed(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-second epochs (unix_timestamp truncates; DuckDB's epoch()
+    # keeps microseconds — sub-second gaps around the 1800s boundary matter)
+    # NTZ -> LTZ (session tz is pinned to UTC) -> fractional epoch seconds
+    ep = F.col("ts").cast("timestamp").cast("double")
+    gap = ep - F.lag(ep).over(w)
+    flagged = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_events_json(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type", (k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_price"),
+        F.round(
+            (F.sum(dec("l_discount")) / F.count(F.lit(1))).cast("double"), 6
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", F.round(F.col("rev").cast("double"), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_files_exact_groups(spark, sf_dir):
+    f = _files(spark, sf_dir)
+    return (
+        exact_duplicates(f, id_col="file_key", text_col="content")
+        .withColumnsRenamed({"group_id": "group_key", "doc_id": "file_key"})
+    )
+
+
+def q_files_neardup_pairs(spark, sf_dir):
+    f = _files(spark, sf_dir)
+    return minhash_neardup_pairs(
+        f, k=3, threshold=0.7, id_col="file_key", text_col="content",
+        bucket_cap=1024,
+    ).withColumnsRenamed({"a_id": "a_key", "b_id": "b_key"})
+
+
+def q_files_substring_pairs(spark, sf_dir):
+    f = _files(spark, sf_dir)
+    return containment_pairs(
+        f, anchor_len=64, min_len=200, id_col="file_key", text_col="content"
+    ).withColumnsRenamed({"a_id": "a_key", "b_id": "b_key"})
+
+
+def q_files_components(spark, sf_dir):
+    """Jaccard + exact + containment edges -> connected components.
+
+    (The full engine also verifies low-Jaccard pairs with the InDel kernel;
+    that path is non-SQL-expressible and is checked by the pytest recall
+    gate instead — this query pins the SQL-expressible subset end-to-end.)
+    """
+    f = _files(spark, sf_dir).cache()
+    w = Window.partitionBy(F.sha2("content", 256))
+    exact_e = (
+        f.withColumn("m", F.min("file_key").over(w))
+        .where(F.col("file_key") != F.col("m"))
+        .select(F.col("m").alias("a_id"), F.col("file_key").alias("b_id"))
+    )
+    near_e = minhash_neardup_pairs(
+        f, k=3, threshold=0.7, id_col="file_key", text_col="content",
+        bucket_cap=1024,
+    ).select("a_id", "b_id")
+    cont_e = containment_pairs(
+        f, anchor_len=64, min_len=200, id_col="file_key", text_col="content"
+    )
+    edges = exact_e.unionByName(near_e).unionByName(cont_e)
+    labels, _ = connected_components(edges)
+    return attach_components(
+        f.select(F.col("file_key").alias("file_id")), labels
+    ).select(
+        F.col("file_id").alias("file_key"),
+        F.col("component_id").alias("component_key"),
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("a_v"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("b_v"),
+    )
+    cos = dot(F.col("a_v"), F.col("b_v")) / (
+        F.sqrt(dot(F.col("a_v"), F.col("a_v")))
+        * F.sqrt(dot(F.col("b_v"), F.col("b_v")))
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .where(F.col("cosine") >= 0.3)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def q_emb_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    n = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = n.withColumnsRenamed({"vec_id": "query_id", "v": "qv"})
+    cos = dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+
+
+def q_emb_lsh_ann(spark, sf_dir):
+    # rows-only check: LSH recall is probabilistic by design; the pytest
+    # suite asserts verified-subset + recall vs the exact result instead.
+    return lsh_cosine_pairs(
+        _emb(spark, sf_dir), threshold=0.3, n_bits=8, n_tables=16
+    )
+
+
+def q_doc_ruler(spark, sf_dir):
+    patterns = [
+        Pattern("QUERYISH", "query big table", "fuzzy", {"min_r": 75}),
+        Pattern("AGGRO", "agg", "fuzzy", {"min_r": 85}),
+        Pattern("TABLE_RE", r"(table){e<=1}", "regex", {"min_r": 70}),
+    ]
+    return ruler(_docs(spark, sf_dir), patterns)
+
+
+def q_files_pipeline(spark, sf_dir):
+    """Full dedup pipeline (incl. non-SQL InDel verification + provenance)
+    on the planted fixture corpus; rows-only driver check, pytest asserts
+    recall >= 0.99 and the sha invariant."""
+    import tempfile
+
+    from .plans.config import DedupConfig
+    from .plans.pipeline import DedupPipeline
+
+    f = _files(spark, sf_dir).drop("file_key")
+    pipe = DedupPipeline(
+        spark, DedupConfig(), tempfile.mkdtemp(prefix="spaczz_entry_")
+    )
+    return pipe.run(f).select(
+        "repo", "path", "commit", "lang", "file_id", "content_sha256",
+        "component_id",
+    )
+
+
+QUERIES = {
+    "doc_exact_dups": q_doc_exact_dups,
+    "doc_fingerprint_dups": q_doc_fingerprint_dups,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_neardup": q_doc_minhash_neardup,
+    "doc_lang_profile": q_doc_lang_profile,
+    "doc_quality": q_doc_quality,
+    "doc_token_fuzzy": q_doc_token_fuzzy,
+    "doc_ruler": q_doc_ruler,
+    "events_windowed": q_events_windowed,
+    "events_sessions": q_events_sessions,
+    "events_json": q_events_json,
+    "tpch_q1": q_tpch_q1,
+    "top_customers": q_top_customers,
+    "files_exact_groups": q_files_exact_groups,
+    "files_neardup_pairs": q_files_neardup_pairs,
+    "files_substring_pairs": q_files_substring_pairs,
+    "files_components": q_files_components,
+    "files_pipeline": q_files_pipeline,
+    "emb_neardup": q_emb_neardup,
+    "emb_topk": q_emb_topk,
+    "emb_lsh_ann": q_emb_lsh_ann,
+}
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+ORACLES = {
+    "doc_exact_dups": """
+WITH h AS (SELECT doc_id, md5(text) AS sha FROM documents),
+g AS (SELECT sha, min(doc_id) AS group_id, count(*) AS group_size
+      FROM h GROUP BY sha HAVING count(*) > 1)
+SELECT g.group_id, h.doc_id, g.group_size FROM h JOIN g USING (sha)
+""",
+    "doc_fingerprint_dups": """
+WITH h AS (SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+g AS (SELECT fp, min(doc_id) AS group_id, count(*) AS group_size
+      FROM h GROUP BY fp HAVING count(*) > 1)
+SELECT g.group_id, h.doc_id, g.group_size FROM h JOIN g USING (fp)
+""",
+    "doc_ngram_jaccard": f"""
+WITH {_SQL_SHINGLES}
+SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.2
+""",
+    "doc_minhash_neardup": f"""
+WITH {_SQL_SHINGLES}
+SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.2
+""",
+    "doc_lang_profile": f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(regexp_extract_all(text, '{WORD_PATTERN}'))), 4)
+         AS avg_tokens,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+""",
+    "doc_quality": f"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_tokens,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+           AS punct,
+         len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) AS digit
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_tokens, punct, digit, len(words) AS n_words,
+         len(list_filter(words, w -> list_contains({_STOP_SQL}, w))) * 1.0
+           / len(words) AS stop
+  FROM s
+)
+SELECT doc_id, n_tokens,
+       round(punct, 6) AS punct_ratio,
+       round(digit, 6) AS digit_ratio,
+       round(stop, 6) AS stopword_ratio,
+       round(
+         (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+         + (CASE WHEN punct < 0.3 THEN 1.0 ELSE 0.5 END) * 0.2
+         + (CASE WHEN digit < 0.3 THEN 1.0 ELSE 0.5 END) * 0.2
+         + (CASE WHEN stop > 0.05 THEN 1.0 ELSE 0.7 END) * 0.2, 6) AS quality
+FROM s2
+""",
+    "doc_token_fuzzy": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+           AS word
+  FROM documents
+)
+SELECT doc_id, word, levenshtein(word, 'table') AS dist
+FROM w WHERE levenshtein(word, 'table') <= 1
+""",
+    "events_windowed": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "events_sessions": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+    "events_json": """
+SELECT event_type,
+       (json_extract_string(props, '$.k')::INT) % 10 AS k_bucket,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+       round((sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE, 2) AS sum_price,
+       round((sum(l_discount::DECIMAL(18,2)) / count(*))::DOUBLE, 6)
+         AS avg_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "top_customers": """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, round(rev::DOUBLE, 2) AS revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+""",
+    "files_exact_groups": f"""
+WITH f AS ({_SQL_FILES}),
+h AS (SELECT file_key, sha256(content) AS sha FROM f),
+g AS (SELECT sha, min(file_key) AS group_key, count(*) AS group_size
+      FROM h GROUP BY sha HAVING count(*) > 1)
+SELECT g.group_key, h.file_key, g.group_size FROM h JOIN g USING (sha)
+""",
+    "files_neardup_pairs": f"""
+WITH {_SQL_FILES_SHINGLES}
+SELECT a_key, b_key, jaccard FROM jac WHERE jaccard >= 0.7
+""",
+    "files_substring_pairs": f"""
+WITH f AS ({_SQL_FILES}),
+{_SQL_CONTAINMENT_BODY}
+SELECT a_key, b_key FROM contained
+""",
+    "files_components": f"""
+WITH RECURSIVE
+{_SQL_FILES_SHINGLES},
+near_e AS (SELECT a_key AS a, b_key AS b FROM jac WHERE jaccard >= 0.7),
+{_SQL_CONTAINMENT_BODY},
+sha_g AS (
+  SELECT file_key,
+         min(file_key) OVER (PARTITION BY sha256(content)) AS m
+  FROM f
+),
+exact_e AS (SELECT m AS a, file_key AS b FROM sha_g WHERE file_key != m),
+cont_e AS (SELECT a_key AS a, b_key AS b FROM contained),
+edges AS (
+  SELECT a, b FROM near_e UNION SELECT b, a FROM near_e
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+  UNION SELECT a, b FROM cont_e UNION SELECT b, a FROM cont_e
+),
+reach(n, m) AS (
+  SELECT file_key, file_key FROM f
+  UNION
+  SELECT e.b, r.m FROM edges e JOIN reach r ON r.n = e.a
+)
+SELECT n AS file_key, min(m) AS component_key FROM reach GROUP BY n
+""",
+    "emb_neardup": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+""",
+    "emb_topk": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+    # doc_ruler, files_pipeline, emb_lsh_ann: intentionally no oracle —
+    # non-SQL-expressible (InDel kernel / probabilistic LSH recall);
+    # covered by pytest golden/recall gates instead.
+}
