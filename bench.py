@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the flagship dedup pipeline over the bench `files` corpus
+(generated deterministically on first run) plus representative operator
+queries over the driver testdata. The flagship metric is files/sec through
+the full pipeline (cold, no checkpoints reused).
+
+Scaling evidence (north rule): SPARK_GRAFT_SCALING=1 re-runs the flagship
+at local[8] and local[32] in separate SparkSessions on the same input and
+reports throughput at both plus the efficiency ratio
+(throughput_ratio / core_ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_FIXTURE = os.path.join(REPO, "fixtures", "files_bench")
+
+
+def ensure_bench_fixture() -> str:
+    if not os.path.exists(os.path.join(BENCH_FIXTURE, "files.parquet")):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from make_fixtures import make
+
+        make("bench")
+    return BENCH_FIXTURE
+
+
+def session(cores: int):
+    from spaczz_spark.plans.pipeline import recommended_session
+
+    s = recommended_session(
+        app=f"spaczz-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 16),
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_pipeline(spark, files_path: str) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+
+    from spaczz_spark.plans.config import DedupConfig
+    from spaczz_spark.plans.pipeline import DedupPipeline
+
+    ckpt = tempfile.mkdtemp(prefix="spaczz_bench_")
+    try:
+        files = spark.read.parquet(files_path)
+        n = files.count()
+        t0 = time.time()
+        pipe = DedupPipeline(spark, DedupConfig(), ckpt)
+        comps = pipe.run(files)
+        # force full materialization
+        comps.select(F.count(F.lit(1)), F.countDistinct("component_id")).collect()
+        return time.time() - t0, n
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def main() -> None:
+    from spaczz_spark import queries as Q
+
+    fixture = ensure_bench_fixture()
+    files_path = os.path.join(fixture, "files.parquet")
+
+    results: dict[str, float] = {}
+    spark = session(CPUS)
+
+    # headline: full dedup pipeline on the bench corpus
+    wall, n_files = run_pipeline(spark, files_path)
+    results["files_pipeline"] = round(wall, 3)
+    files_per_sec = n_files / wall
+
+    # representative operator queries over driver testdata
+    bench_queries = [
+        "doc_minhash_neardup",
+        "doc_ngram_jaccard",
+        "doc_quality",
+        "events_windowed",
+        "events_sessions",
+        "tpch_q1",
+        "emb_neardup",
+        "emb_topk",
+        "files_neardup_pairs",
+        "files_substring_pairs",
+        "files_components",
+    ]
+    for name in bench_queries:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            # noop sink unavailable or query error -> fall back to count
+            try:
+                fn(spark, SF_DIR).count()
+            except Exception as e:  # pragma: no cover
+                results[name] = -1.0
+                print(f"bench query {name} failed: {e}", file=sys.stderr)
+                continue
+        results[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "files_per_sec_full_dedup_pipeline",
+        "value": round(files_per_sec, 2),
+        "unit": "files/sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "bench_corpus_files": n_files,
+        "cpus": CPUS,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        scaling = {}
+        for cores in (8, 32):
+            s = session(cores)
+            w, n = run_pipeline(s, files_path)
+            scaling[f"local[{cores}]"] = {
+                "wall_sec": round(w, 2),
+                "files_per_sec": round(n / w, 2),
+            }
+            s.stop()
+        tput8 = scaling["local[8]"]["files_per_sec"]
+        tput32 = scaling["local[32]"]["files_per_sec"]
+        out["scaling"] = scaling
+        out["scaling_efficiency"] = round((tput32 / tput8) / 4.0, 3)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ conflict resolution:
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -35,6 +36,7 @@ from pyspark.sql.window import Window
 from ..phrasesearch import match as phrase_match
 from ..regexsearch import regex_match
 from ..tokenizer import tokenize
+from ..tokensearch import token_spans
 
 __all__ = ["Pattern", "match_patterns", "resolve_matches", "ruler"]
 
@@ -77,6 +79,9 @@ def _run_patterns(text: str, patterns: list[Pattern]) -> list[tuple]:
             results = phrase_match(doc, p.pattern, **p.kwargs)
         elif p.type == "regex":
             results = regex_match(doc, p.pattern, **p.kwargs)
+        elif p.type == "token":
+            # pattern is the JSON-encoded token-dict list (ruler file shape)
+            results = token_spans(doc, json.loads(p.pattern), **p.kwargs)
         else:
             raise ValueError(f"unknown pattern type {p.type!r}")
         for start, end, ratio in results:
