@@ -101,12 +101,25 @@ class DedupPipeline:
         norm = self._stage("normalized", lambda: normalize(files))
 
         # ---- exact collapse (sha256 groups -> representatives) -------------
+        # narrow shuffle: only (sha, file_id) ever crosses the exchange;
+        # content stays in place until the signature join. The checkpoint is
+        # a slim (file_id, rep_id) table, not a second copy of the corpus.
         def build_reps():
-            w = Window.partitionBy("content_sha256")
-            return norm.withColumn("rep_id", F.min("file_id").over(w))
+            rep_map = (
+                norm.select("content_sha256", "file_id")
+                .groupBy("content_sha256")
+                .agg(F.min("file_id").alias("rep_id"))
+            )
+            return norm.select("content_sha256", "file_id").join(
+                rep_map, "content_sha256"
+            ).select("file_id", "rep_id")
 
         with_rep = self._stage("rep_assignment", build_reps)
-        reps = with_rep.where(F.col("file_id") == F.col("rep_id"))
+        reps = norm.join(
+            with_rep.where(F.col("file_id") == F.col("rep_id")).select("file_id"),
+            "file_id",
+            "left_semi",
+        )
         exact_edges = (
             with_rep.where(F.col("file_id") != F.col("rep_id"))
             .select(
