@@ -127,19 +127,34 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
+        # N vs 4N cores. The sandbox advertises 32 CPUs but measured
+        # parallel throughput saturates at ~14.5 effective cores (host
+        # overcommit; see BENCH/BASELINE.md), so the honest 4x-capacity
+        # pair is 4 vs 16. Repeats with min-wall to shed host noise.
+        pair = [
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(",")
+        ]
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
         scaling = {}
-        for cores in (8, 32):
-            s = session(cores)
-            w, n = run_pipeline(s, files_path)
+        for cores in pair:
+            walls = []
+            for _ in range(repeats):
+                s = session(cores)
+                w, n = run_pipeline(s, files_path)
+                walls.append(w)
+                s.stop()
+            best = min(walls)
             scaling[f"local[{cores}]"] = {
-                "wall_sec": round(w, 2),
-                "files_per_sec": round(n / w, 2),
+                "wall_sec_min": round(best, 2),
+                "wall_sec_all": [round(w, 2) for w in walls],
+                "files_per_sec": round(n / best, 2),
             }
-            s.stop()
-        tput8 = scaling["local[8]"]["files_per_sec"]
-        tput32 = scaling["local[32]"]["files_per_sec"]
+        lo, hi = pair
+        tput_lo = scaling[f"local[{lo}]"]["files_per_sec"]
+        tput_hi = scaling[f"local[{hi}]"]["files_per_sec"]
         out["scaling"] = scaling
-        out["scaling_efficiency"] = round((tput32 / tput8) / 4.0, 3)
+        out["scaling_efficiency"] = round((tput_hi / tput_lo) / (hi / lo), 3)
 
     print(json.dumps(out))
 

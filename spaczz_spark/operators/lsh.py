@@ -34,12 +34,29 @@ __all__ = ["minhash_candidates", "simhash_candidates", "pairs_from_buckets"]
 
 
 def pairs_from_buckets(
-    buckets: DataFrame, bucket_cap: int = 64, id_col: str = "file_id"
+    buckets: DataFrame,
+    bucket_cap: int = 64,
+    id_col: str = "file_id",
+    n_salt: int = 16,
+    star_cap: int = 4096,
+    dedup: bool = True,
 ) -> DataFrame:
     """Enumerate candidate pairs from (bucket_key, file_id) rows.
 
-    Small buckets (size <= bucket_cap): all pairs via self-join.
-    Oversized buckets: star expansion around the min member (linear fan-out).
+    Three tiers by bucket size (skew handling, north-rule salting):
+    - <= bucket_cap: plain all-pairs self-join on the bucket key.
+    - (bucket_cap, star_cap]: **salted** all-pairs — the left side is
+      tagged ``salt = pmod(xxhash64(id), n_salt)``, the right side is
+      replicated once per salt value, and the join key becomes
+      (bucket, salt): the same complete pair set, but the hot key is
+      spread over ``n_salt`` partitions instead of one straggler.
+    - > star_cap: quadratic enumeration is no longer acceptable
+      (n·(n-1)/2 pairs); fall back to linear star expansion around the
+      min member — connected components downstream restores the
+      transitive clustering. (Exact-duplicate collapse upstream makes
+      this tier rare: it fires only for near-identical-but-not-equal
+      mega-families.)
+
     Returns distinct (a_id, b_id) with a_id < b_id.
     """
     w = Window.partitionBy("bucket_key")
@@ -58,13 +75,36 @@ def pairs_from_buckets(
         .select(F.col("a.fid").alias("a_id"), F.col("b.fid").alias("b_id"))
     )
 
+    mid = sized.where(
+        (F.col("bsize") > bucket_cap) & (F.col("bsize") <= star_cap)
+    )
+    mid_a = mid.select(
+        "bucket_key",
+        F.col("fid").alias("a_fid"),
+        F.pmod(F.xxhash64("fid"), F.lit(n_salt)).alias("salt"),
+    )
+    mid_b = mid.select(
+        "bucket_key",
+        F.col("fid").alias("b_fid"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
+        .alias("salt"),
+    )
+    mid_pairs = (
+        mid_a.join(mid_b, ["bucket_key", "salt"])
+        .where(F.col("a_fid") < F.col("b_fid"))
+        .select(F.col("a_fid").alias("a_id"), F.col("b_fid").alias("b_id"))
+    )
+
     large_pairs = (
-        sized.where(F.col("bsize") > bucket_cap)
+        sized.where(F.col("bsize") > star_cap)
         .where(F.col("fid") != F.col("bmin"))
         .select(F.col("bmin").alias("a_id"), F.col("fid").alias("b_id"))
     )
 
-    return small_pairs.unionByName(large_pairs).distinct()
+    out = small_pairs.unionByName(mid_pairs).unionByName(large_pairs)
+    # callers that union several candidate sources and groupBy afterwards
+    # pass dedup=False to avoid paying this shuffle once per source
+    return out.distinct() if dedup else out
 
 
 def minhash_candidates(
@@ -72,6 +112,7 @@ def minhash_candidates(
     bands: int = 64,
     rows: int = 2,
     bucket_cap: int = 64,
+    dedup: bool = True,
 ) -> DataFrame:
     """Candidate pairs from MinHash LSH banding: (a_id, b_id, stage).
 
@@ -82,7 +123,7 @@ def minhash_candidates(
         "file_id",
         F.explode(pack_band_keys(bands, rows)).alias("bucket_key"),
     )
-    return pairs_from_buckets(banded, bucket_cap).withColumn(
+    return pairs_from_buckets(banded, bucket_cap, dedup=dedup).withColumn(
         "stage", F.lit("minhash")
     )
 
@@ -91,6 +132,7 @@ def simhash_candidates(
     sig_df: DataFrame,
     max_hamming: int = 3,
     bucket_cap: int = 64,
+    dedup: bool = True,
 ) -> DataFrame:
     """Candidate pairs with SimHash hamming distance <= max_hamming.
 
@@ -116,7 +158,7 @@ def simhash_candidates(
         "simhash",
         F.explode(F.array(*block_keys)).alias("bucket_key"),
     )
-    pairs = pairs_from_buckets(blocks, bucket_cap)
+    pairs = pairs_from_buckets(blocks, bucket_cap, dedup=dedup)
     sig = sig_df.select("file_id", "simhash")
     return (
         pairs.join(sig.withColumnsRenamed({"file_id": "a_id", "simhash": "a_sim"}), "a_id")

@@ -97,42 +97,52 @@ def verify_pairs(
         pairs, corpus, ["content", "content_sha256", "shingles"]
     )
 
+    sha_eq = F.col("a_content_sha256") == F.col("b_content_sha256")
     scored = joined.withColumn(
         "jaccard",
-        F.when(F.col("a_content_sha256") == F.col("b_content_sha256"), F.lit(1.0))
-        .otherwise(
+        F.when(sha_eq, F.lit(1.0)).otherwise(
             F.size(F.array_intersect("a_shingles", "b_shingles"))
             / F.size(F.array_union("a_shingles", "b_shingles"))
         ),
     )
 
-    sha_or_jaccard = scored.where(
-        (F.col("a_content_sha256") == F.col("b_content_sha256"))
-        | (F.col("jaccard") >= jaccard_min)
-    ).withColumns(
-        {
-            "edit_ratio": F.when(
-                F.col("a_content_sha256") == F.col("b_content_sha256"), F.lit(100)
-            ).otherwise(F.lit(None).cast("int")),
-            "verified_by": F.when(
-                F.col("a_content_sha256") == F.col("b_content_sha256"), F.lit("sha")
-            ).otherwise(F.lit("jaccard")),
-        }
-    )
-
+    # Single pass (a union of two filtered branches would re-evaluate the
+    # expensive pair-side joins once per branch). The InDel kernel only runs
+    # for pairs in the [floor, min) jaccard band: pandas UDFs are extracted
+    # into an unconditional projection, so the gate is applied by
+    # null-masking the inputs — the kernel returns 0 for nulls immediately.
     edit_udf = make_edit_ratio_udf()
-    needs_kernel = (
-        scored.where(
-            (F.col("a_content_sha256") != F.col("b_content_sha256"))
-            & (F.col("jaccard") < jaccard_min)
-            & (F.col("jaccard") >= jaccard_floor)
-        )
-        .withColumn("edit_ratio", edit_udf("a_content", "b_content"))
-        .where(F.col("edit_ratio") >= min_r2)
-        .withColumn("verified_by", F.lit("edit_ratio"))
+    kernel_gate = (
+        ~sha_eq
+        & (F.col("jaccard") < jaccard_min)
+        & (F.col("jaccard") >= jaccard_floor)
+    )
+    scored = scored.withColumn(
+        "edit_ratio",
+        F.when(sha_eq, F.lit(100)).otherwise(
+            edit_udf(
+                F.when(kernel_gate, F.col("a_content")),
+                F.when(kernel_gate, F.col("b_content")),
+            )
+        ),
+    ).withColumn(
+        "verified_by",
+        F.when(sha_eq, F.lit("sha"))
+        .when(F.col("jaccard") >= jaccard_min, F.lit("jaccard"))
+        .otherwise(F.lit("edit_ratio")),
     )
 
-    out_cols = ["a_id", "b_id", "stage", "jaccard", "edit_ratio", "verified_by"]
-    return sha_or_jaccard.select(*out_cols).unionByName(
-        needs_kernel.select(*out_cols)
+    verified = scored.where(
+        sha_eq
+        | (F.col("jaccard") >= jaccard_min)
+        | (F.col("edit_ratio") >= min_r2)
+    )
+    # null out the masked kernel output for jaccard-verified rows
+    verified = verified.withColumn(
+        "edit_ratio",
+        F.when(F.col("verified_by") == "jaccard", F.lit(None).cast("int"))
+        .otherwise(F.col("edit_ratio")),
+    )
+    return verified.select(
+        "a_id", "b_id", "stage", "jaccard", "edit_ratio", "verified_by"
     )

@@ -56,9 +56,17 @@ def recommended_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local/small-SF tuning: stage outputs are tens of MB; the 128MB
+        # default packs them into 1 read partition and serializes UDF
+        # stages. openCost >= maxPartitionBytes => one file per partition.
+        # (On a real cluster with TB inputs leave these at defaults.)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        .config("spark.driver.memory", "8g")
+        # local mode: driver == executor; size the heap for 32 concurrent
+        # tasks over wide rows (content + shingle arrays)
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
 
@@ -80,15 +88,19 @@ class DedupPipeline:
 
     def _stage(self, name: str, build, **write_kwargs) -> DataFrame:
         """Resume-or-build one checkpointed stage."""
+        import time
+
         h = self.config.config_hash()
         cached = self.catalog.read_if_valid(name, h)
         if cached is not None:
             self.metrics[f"{name}_resumed"] = 1
             return cached
+        t0 = time.time()
         df = build()
         committed = self.catalog.write(name, df, h, **write_kwargs)
         manifest = self.catalog.manifest(name) or {}
         self.metrics[f"{name}_rows"] = manifest.get("rows", -1)
+        self.metrics[f"{name}_sec"] = round(time.time() - t0, 2)
         return committed
 
     def run(self, files: DataFrame) -> DataFrame:
@@ -145,9 +157,11 @@ class DedupPipeline:
         # ---- candidates -----------------------------------------------------
         def build_candidates():
             mh = minhash_candidates(
-                signatures, cfg.bands, cfg.rows, cfg.bucket_cap
+                signatures, cfg.bands, cfg.rows, cfg.bucket_cap, dedup=False
             )
-            sh = simhash_candidates(signatures, cfg.max_hamming, cfg.bucket_cap)
+            sh = simhash_candidates(
+                signatures, cfg.max_hamming, cfg.bucket_cap, dedup=False
+            )
             # one row per (pair, source-stage); set-similarity pairs deduped
             # with minhash taking precedence (M4: union of match sources)
             sim_pairs = (

@@ -353,7 +353,8 @@ def q_files_components(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
-    e = _emb(spark, sf_dir)
+    # small single-file input: spread the big (join-left) side across cores
+    e = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     a = e.select(
         F.col("vec_id").alias("a_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("a_v"),
@@ -375,7 +376,7 @@ def q_emb_neardup(spark, sf_dir):
 
 
 def q_emb_topk(spark, sf_dir):
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     n = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )

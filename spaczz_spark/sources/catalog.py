@@ -67,6 +67,15 @@ class CheckpointCatalog:
         path = self._dir(name)
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        # Write N files so downstream scans parallelize: small stage outputs
+        # (tens of MB) would otherwise collapse to 1-2 read partitions under
+        # maxPartitionBytes and serialize every UDF stage that follows. On
+        # the Iceberg path this is bucket(file_id) table layout instead.
+        n_out = self.spark.sparkContext.defaultParallelism
+        if "file_id" in df.columns:
+            df = df.repartition(n_out, "file_id")
+        else:
+            df = df.repartition(n_out)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
