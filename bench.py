@@ -31,13 +31,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_FIXTURE = os.path.join(REPO, "fixtures", "files_bench")
 
 
-def ensure_bench_fixture() -> str:
-    if not os.path.exists(os.path.join(BENCH_FIXTURE, "files.parquet")):
+def ensure_fixture(name: str) -> str:
+    path = os.path.join(REPO, "fixtures", f"files_{name}")
+    if not os.path.exists(os.path.join(path, "files.parquet")):
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         from make_fixtures import make
 
-        make("bench")
-    return BENCH_FIXTURE
+        make(name)
+    return path
 
 
 def session(cores: int):
@@ -75,7 +76,7 @@ def run_pipeline(spark, files_path: str) -> tuple[float, int]:
 def main() -> None:
     from spaczz_spark import queries as Q
 
-    fixture = ensure_bench_fixture()
+    fixture = ensure_fixture("bench")
     files_path = os.path.join(fixture, "files.parquet")
 
     results: dict[str, float] = {}
@@ -133,21 +134,26 @@ def main() -> None:
         # pair is 4 vs 16. Repeats with min-wall to shed host noise.
         pair = [
             int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(",")
+            for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
         ]
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        # scaling uses the large corpus so compute dominates fixed stage
+        # orchestration; interleave the two levels to spread host noise
+        scale_path = os.path.join(ensure_fixture("scale"), "files.parquet")
+        walls: dict[int, list] = {c: [] for c in pair}
+        n = 0
+        for _ in range(repeats):
+            for cores in pair:
+                s = session(cores)
+                w, n = run_pipeline(s, scale_path)
+                walls[cores].append(w)
+                s.stop()
         scaling = {}
         for cores in pair:
-            walls = []
-            for _ in range(repeats):
-                s = session(cores)
-                w, n = run_pipeline(s, files_path)
-                walls.append(w)
-                s.stop()
-            best = min(walls)
+            best = min(walls[cores])
             scaling[f"local[{cores}]"] = {
                 "wall_sec_min": round(best, 2),
-                "wall_sec_all": [round(w, 2) for w in walls],
+                "wall_sec_all": [round(w, 2) for w in walls[cores]],
                 "files_per_sec": round(n / best, 2),
             }
         lo, hi = pair

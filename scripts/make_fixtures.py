@@ -20,6 +20,9 @@ SPECS = {
     "tiny": (300, 40),
     "small": (1500, 150),
     "bench": (20000, 500),
+    # large corpus for scaling-efficiency evidence (compute must dominate
+    # the fixed per-stage orchestration cost)
+    "scale": (100000, 500),
 }
 
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -154,8 +154,8 @@ class DedupPipeline:
 
         signatures = self._stage("signatures", build_signatures)
 
-        # ---- candidates -----------------------------------------------------
-        def build_candidates():
+        # ---- candidates (three sources, each its own resumable checkpoint)
+        def build_sim_candidates():
             mh = minhash_candidates(
                 signatures, cfg.bands, cfg.rows, cfg.bucket_cap, dedup=False
             )
@@ -164,27 +164,30 @@ class DedupPipeline:
             )
             # one row per (pair, source-stage); set-similarity pairs deduped
             # with minhash taking precedence (M4: union of match sources)
-            sim_pairs = (
+            return (
                 mh.unionByName(sh)
                 .groupBy("a_id", "b_id")
                 .agg(F.min("stage").alias("stage"))
             )
-            sub = substring_candidates(
-                signatures,
-                k=cfg.substring_k,
-                w=cfg.substring_w,
-                bucket_cap=cfg.bucket_cap,
-                min_bytes=cfg.substring_min_len,
-            )
+
+        def build_sub_candidates():
             # NOTE: substring candidates are NOT anti-joined against the
             # set-similarity candidates — a pair can band-collide in MinHash
             # (likely even at Jaccard ~0.25), fail Jaccard/edit verification
             # there, and still be a true verbatim-containment duplicate that
             # only the containment verifier can accept. Both rows survive;
             # the verified union keeps the best record per pair.
-            return sim_pairs.unionByName(sub)
+            return substring_candidates(
+                signatures,
+                k=cfg.substring_k,
+                w=cfg.substring_w,
+                bucket_cap=cfg.bucket_cap,
+                min_bytes=cfg.substring_min_len,
+            )
 
-        candidates = self._stage("candidate_pairs", build_candidates)
+        sim_candidates = self._stage("sim_candidate_pairs", build_sim_candidates)
+        sub_candidates = self._stage("sub_candidate_pairs", build_sub_candidates)
+        candidates = sim_candidates.unionByName(sub_candidates)
 
         # ---- verification ---------------------------------------------------
         def build_verified():
