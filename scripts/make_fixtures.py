@@ -34,7 +34,11 @@ def make(name: str) -> None:
     bundle = generate_corpus(n_files=n, seed=42, boilerplate_cluster=boiler)
     out = os.path.join(ROOT, f"files_{name}")
     os.makedirs(out, exist_ok=True)
-    bundle.files.to_parquet(os.path.join(out, "files.parquet"), index=False)
+    # small row groups keep the file splittable — a single row group makes
+    # the first Spark scan (normalize/sha) single-task regardless of cores
+    bundle.files.to_parquet(
+        os.path.join(out, "files.parquet"), index=False, row_group_size=2048
+    )
     bundle.truth_pairs.to_parquet(
         os.path.join(out, "truth_pairs.parquet"), index=False
     )
