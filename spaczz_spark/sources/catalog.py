@@ -76,6 +76,16 @@ class CheckpointCatalog:
             df = df.repartition(n_out, "file_id")
         else:
             df = df.repartition(n_out)
+
+        # Lineage counters ride the write job itself via observe() — no
+        # extra count pass over the committed table (north rule: per-stage
+        # rows in/out recorded alongside every checkpoint).
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -87,7 +97,10 @@ class CheckpointCatalog:
         manifest = {
             "name": name,
             "config_hash": config_hash,
-            "rows": committed.count(),
+            "rows": int(obs.get["rows"]),
+            "n_files": len(
+                [f for f in os.listdir(path) if f.endswith(".parquet")]
+            ),
             "schema": committed.schema.simpleString(),
             "metrics": metrics or {},
         }
