@@ -287,6 +287,72 @@ class DedupPipeline:
         self.metrics["pair_recall"] = recall
         return recall
 
+    def pair_prf(
+        self,
+        components: DataFrame,
+        truth_pairs: DataFrame,
+        truth_components: DataFrame,
+    ) -> dict[str, float]:
+        """Precision/recall/F1 of predicted same-component pairs vs planted
+        truth (M8 analog of the reference's ``get_ner_prf`` scoring,
+        reference: ``pipeline/spaczzruler.py:50-64``).
+
+        Recall is over the directly planted pairs; precision judges every
+        predicted co-clustered pair against truth *component* co-membership
+        (transitively implied pairs inside a planted cluster are correct).
+        Predicted pairs are enumerated per component (bounded by the
+        largest cluster).
+        """
+        keyed = components.withColumn(
+            "file_key", F.concat_ws("\x1f", "repo", "path", "commit")
+        ).select("file_key", "component_id")
+        grouped = keyed.groupBy("component_id").agg(
+            F.sort_array(F.collect_list("file_key")).alias("members")
+        ).where(F.size("members") > 1)
+        pred = grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "members",
+                        lambda x, i: F.transform(
+                            F.slice("members", i + 2, F.size("members")),
+                            lambda y: F.struct(
+                                x.alias("a_key"), y.alias("b_key")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.a_key", "p.b_key")
+        tc = truth_components.select("file_key", "component_key")
+        pred_judged = (
+            pred.join(
+                tc.withColumnsRenamed(
+                    {"file_key": "a_key", "component_key": "a_tc"}
+                ),
+                "a_key",
+            )
+            .join(
+                tc.withColumnsRenamed(
+                    {"file_key": "b_key", "component_key": "b_tc"}
+                ),
+                "b_key",
+            )
+        )
+        n_pred = pred.count()
+        n_correct = pred_judged.where(F.col("a_tc") == F.col("b_tc")).count()
+        precision = n_correct / n_pred if n_pred else 1.0
+        recall = self.pair_recall(components, truth_pairs)
+        f1 = (
+            2 * precision * recall / (precision + recall)
+            if precision + recall
+            else 0.0
+        )
+        out = {"precision": precision, "recall": recall, "f1": f1,
+               "predicted_pairs": n_pred, "correct_pairs": n_correct}
+        self.metrics.update({f"pair_{k}": v for k, v in out.items()})
+        return out
+
     def sha_invariant_holds(self, files: DataFrame, components: DataFrame) -> bool:
         """Per-row invariant: sha256(content) of the input equals the
         sha256 carried through every stage into the final assignment."""

@@ -38,6 +38,18 @@ def test_pair_recall_at_least_099(pipeline_run, spark, tiny_corpus):
     assert recall >= 0.99, pipe.metrics
 
 
+def test_pair_prf(pipeline_run, spark, tiny_corpus):
+    pipe, components, _, _ = pipeline_run
+    truth_pairs = spark.createDataFrame(tiny_corpus.truth_pairs)
+    truth_comps = spark.createDataFrame(tiny_corpus.truth_components)
+    prf = pipe.pair_prf(components, truth_pairs, truth_comps)
+    assert prf["recall"] >= 0.99
+    # precision can dip slightly below 1.0 if the generator emits accidental
+    # near-dups the truth tables don't know about
+    assert prf["precision"] >= 0.95, prf
+    assert prf["f1"] >= 0.97
+
+
 def test_sha_invariant(pipeline_run, tiny_files):
     pipe, components, _, _ = pipeline_run
     assert pipe.sha_invariant_holds(tiny_files, components)
