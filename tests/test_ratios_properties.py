@@ -1,0 +1,66 @@
+"""Property-based tests for the ratio kernels (hypothesis)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spaczz_spark import ratios
+
+text = st.text(alphabet="abcdef _-", max_size=60)
+
+
+@given(text, text)
+@settings(max_examples=200, deadline=None)
+def test_indel_ratio_bounds_and_symmetry(a, b):
+    r = ratios.indel_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == ratios.indel_ratio(b, a)
+
+
+@given(text)
+@settings(max_examples=100, deadline=None)
+def test_identity_is_100(a):
+    assert ratios.indel_ratio(a, a) == 100.0
+    assert ratios.token_sort_ratio(a, a) == 100.0
+
+
+@given(text, text)
+@settings(max_examples=200, deadline=None)
+def test_distance_triangle_consistency(a, b):
+    # indel distance metric properties: non-negativity, identity, symmetry
+    d = ratios.indel_distance(a, b)
+    assert d >= abs(len(a) - len(b))
+    assert d <= len(a) + len(b)
+    assert (d == 0) == (a == b)
+
+
+@given(text, text)
+@settings(max_examples=150, deadline=None)
+def test_token_sort_ge_plain_on_permutations(a, b):
+    # sorting tokens can only help when inputs are permutations of tokens
+    perm_a = " ".join(sorted(a.split()))
+    perm_b = " ".join(sorted(b.split()))
+    assert ratios.token_sort_ratio(a, b) == ratios.indel_ratio(perm_a, perm_b)
+
+
+@given(text, text, text)
+@settings(max_examples=150, deadline=None)
+def test_partial_ratio_is_100_for_true_substrings(prefix, a, suffix):
+    # embedding a verbatim inside a larger string -> perfect window ratio
+    if a:
+        assert ratios.partial_ratio(a, prefix + a + suffix) == 100.0
+
+
+@given(text, st.integers(min_value=0, max_value=100))
+@settings(max_examples=100, deadline=None)
+def test_score_cutoff_never_returns_between_zero_and_cutoff(a, cutoff):
+    r = ratios.indel_ratio(a, a[::-1], score_cutoff=cutoff)
+    assert r == 0.0 or r >= cutoff
+
+
+@given(st.text(alphabet="ab", max_size=30), st.text(alphabet="ab", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_lcs_never_exceeds_either_length(a, b):
+    lcs = ratios.lcs_length(a, b)
+    assert 0 <= lcs <= min(len(a), len(b))
+    # concatenation monotonicity
+    assert ratios.lcs_length(a + "a", b + "a") >= lcs + (1 if True else 0) - 1
