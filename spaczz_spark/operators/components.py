@@ -57,14 +57,25 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return restar.unionByName(self_edge).where(F.col("u") != F.col("v")).distinct()
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    # bit_xor, not sum: sum over xxhash64 longs overflows under ANSI mode
-    row = (
-        edges.select(F.xxhash64("u", "v").alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
-        .collect()[0]
+def _checkpoint_with_checksum(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """localCheckpoint + order-insensitive edge checksum in ONE job.
+
+    The convergence checksum (count + bit_xor of pair hashes — bit_xor, not
+    sum: sum over xxhash64 longs overflows under ANSI mode) rides the
+    checkpoint materialization via ``observe``, so each CC iteration costs a
+    single Spark job instead of a materialize + a separate aggregate pass.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("x"),
     )
-    return int(row["n"]), int(row["x"] or 0)
+    checkpointed = observed.localCheckpoint()
+    got = obs.get
+    return checkpointed, (int(got["n"]), int(got["x"] or 0))
 
 
 def connected_components(
@@ -76,18 +87,15 @@ def connected_components(
     for every node that appears in an edge; isolated files are handled by
     :func:`attach_components`.
     """
-    edges = (
+    edges, prev = _checkpoint_with_checksum(
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    prev = _checksum(edges)
     iterations = 0
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges, cur = _checkpoint_with_checksum(_small_star(_large_star(edges)))
         iterations += 1
-        cur = _checksum(edges)
         if cur == prev:
             break
         prev = cur

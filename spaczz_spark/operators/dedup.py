@@ -174,8 +174,16 @@ def _verify_jaccard(
         )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("a_sh", "b_sh"))
-            / F.size(F.array_union("a_sh", "b_sh")),
+            # token-free docs have empty shingle sets and still reach here
+            # (sentinel MinHash collides in every band): define 0/0 as 0.0
+            # rather than ANSI-aborting the job. Such pairs never appear in
+            # the brute-force oracle (the exploded equi-join needs a shared
+            # shingle), so filtering them out preserves output equality.
+            F.when(F.size(F.array_union("a_sh", "b_sh")) == 0, F.lit(0.0))
+            .otherwise(
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_union("a_sh", "b_sh"))
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
@@ -192,6 +200,7 @@ def minhash_neardup_pairs(
     rows: int = 2,
     seed: int = 42,
     bucket_cap: int = 512,
+    star_cap: int = 100_000,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -200,9 +209,16 @@ def minhash_neardup_pairs(
     Contract: identical output to :func:`ngram_jaccard_pairs` at the same
     (k, threshold) — LSH only prunes the candidate space; with (64, 2)
     banding the miss probability at Jaccard 0.6 is (1 - 0.36)^64 < 4e-13.
+
+    Caveat: buckets larger than ``star_cap`` degrade to linear star
+    expansion (pair-level output is then a subset; the transitive clusters
+    are still complete after connected components). The default is high
+    enough that this operator keeps brute-force pair equality on any corpus
+    whose largest single LSH bucket is < ``star_cap`` docs; lower it only
+    when trading pair completeness for skew protection.
     """
     sigs = _docs_with_signatures(docs, k, num_perm, seed, id_col, text_col)
-    cand = minhash_candidates(sigs, bands, rows, bucket_cap)
+    cand = minhash_candidates(sigs, bands, rows, bucket_cap, star_cap=star_cap)
     return _verify_jaccard(cand.select("a_id", "b_id"), sigs, threshold)
 
 

@@ -113,6 +113,7 @@ def minhash_candidates(
     rows: int = 2,
     bucket_cap: int = 64,
     dedup: bool = True,
+    star_cap: int = 4096,
 ) -> DataFrame:
     """Candidate pairs from MinHash LSH banding: (a_id, b_id, stage).
 
@@ -123,9 +124,9 @@ def minhash_candidates(
         "file_id",
         F.explode(pack_band_keys(bands, rows)).alias("bucket_key"),
     )
-    return pairs_from_buckets(banded, bucket_cap, dedup=dedup).withColumn(
-        "stage", F.lit("minhash")
-    )
+    return pairs_from_buckets(
+        banded, bucket_cap, dedup=dedup, star_cap=star_cap
+    ).withColumn("stage", F.lit("minhash"))
 
 
 def simhash_candidates(

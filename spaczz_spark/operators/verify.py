@@ -98,11 +98,18 @@ def verify_pairs(
     )
 
     sha_eq = F.col("a_content_sha256") == F.col("b_content_sha256")
+    # Token-free contents (whitespace-only files) have empty shingle sets;
+    # they share the sentinel MinHash signature, so they always arrive here
+    # as candidates. 0/0 aborts the job under ANSI mode — define the empty
+    # union as Jaccard 0.0 and let the InDel kernel decide those pairs on
+    # raw content (see kernel_gate below).
+    union_sz = F.size(F.array_union("a_shingles", "b_shingles"))
     scored = joined.withColumn(
         "jaccard",
-        F.when(sha_eq, F.lit(1.0)).otherwise(
-            F.size(F.array_intersect("a_shingles", "b_shingles"))
-            / F.size(F.array_union("a_shingles", "b_shingles"))
+        F.when(sha_eq, F.lit(1.0))
+        .when(union_sz == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.array_intersect("a_shingles", "b_shingles")) / union_sz
         ),
     )
 
@@ -115,7 +122,7 @@ def verify_pairs(
     kernel_gate = (
         ~sha_eq
         & (F.col("jaccard") < jaccard_min)
-        & (F.col("jaccard") >= jaccard_floor)
+        & ((F.col("jaccard") >= jaccard_floor) | (union_sz == 0))
     )
     scored = scored.withColumn(
         "edit_ratio",

@@ -83,21 +83,37 @@ class DedupPipeline:
         self.config = config
         self.catalog = CheckpointCatalog(spark, checkpoint_root, use_iceberg)
         self.metrics: dict[str, int | float | str] = {}
+        self._input_fp = ""
 
     # -- stages ---------------------------------------------------------------
+
+    @staticmethod
+    def input_fingerprint(files: DataFrame) -> str:
+        """Identity of the input dataset, folded into every checkpoint
+        manifest: resuming with the same config but a *different* input must
+        rebuild (metadata-only — file listing + schema; for in-memory inputs
+        the analyzed logical plan stands in for the file list)."""
+        import hashlib
+
+        paths = sorted(files.inputFiles())
+        basis = "\n".join(paths) if paths else files._jdf.queryExecution().analyzed().toString()
+        basis += "\n" + files.schema.simpleString()
+        return hashlib.sha256(basis.encode()).hexdigest()[:16]
 
     def _stage(self, name: str, build, **write_kwargs) -> DataFrame:
         """Resume-or-build one checkpointed stage."""
         import time
 
         h = self.config.config_hash()
-        cached = self.catalog.read_if_valid(name, h)
+        cached = self.catalog.read_if_valid(name, h, self._input_fp)
         if cached is not None:
             self.metrics[f"{name}_resumed"] = 1
             return cached
         t0 = time.time()
         df = build()
-        committed = self.catalog.write(name, df, h, **write_kwargs)
+        committed = self.catalog.write(
+            name, df, h, input_fingerprint=self._input_fp, **write_kwargs
+        )
         manifest = self.catalog.manifest(name) or {}
         self.metrics[f"{name}_rows"] = manifest.get("rows", -1)
         self.metrics[f"{name}_sec"] = round(time.time() - t0, 2)
@@ -109,6 +125,7 @@ class DedupPipeline:
         stage provenance) assignment table."""
         cfg = self.config
         _, min_r2, _ = cfg.resolved_ratios()
+        self._input_fp = self.input_fingerprint(files)
 
         norm = self._stage("normalized", lambda: normalize(files))
 

@@ -52,14 +52,17 @@ class CheckpointCatalog:
         df: DataFrame,
         config_hash: str,
         *,
+        input_fingerprint: str = "",
         partition_by: list[str] | None = None,
         metrics: dict | None = None,
     ) -> DataFrame:
         """Commit a stage table; returns a reader over the committed data
         (so downstream stages consume the checkpoint, truncating lineage)."""
         if self.use_iceberg:  # pragma: no cover - needs Iceberg runtime jar
-            writer = df.writeTo(f"{self.namespace}.{name}").tableProperty(
-                "spaczz.config_hash", config_hash
+            writer = (
+                df.writeTo(f"{self.namespace}.{name}")
+                .tableProperty("spaczz.config_hash", config_hash)
+                .tableProperty("spaczz.input_fingerprint", input_fingerprint)
             )
             writer.createOrReplace()
             return self.spark.read.table(f"{self.namespace}.{name}")
@@ -97,6 +100,7 @@ class CheckpointCatalog:
         manifest = {
             "name": name,
             "config_hash": config_hash,
+            "input_fingerprint": input_fingerprint,
             "rows": int(obs.get["rows"]),
             "n_files": len(
                 [f for f in os.listdir(path) if f.endswith(".parquet")]
@@ -110,10 +114,17 @@ class CheckpointCatalog:
         os.replace(mtmp, self._manifest(name))
         return committed
 
-    def read_if_valid(self, name: str, config_hash: str) -> DataFrame | None:
-        """Read a committed stage table iff its manifest matches the config."""
+    def read_if_valid(
+        self, name: str, config_hash: str, input_fingerprint: str = ""
+    ) -> DataFrame | None:
+        """Read a committed stage table iff its manifest matches the config
+        AND the input dataset identity — a re-run over a *different* input
+        with the same config must rebuild, not silently resume the previous
+        corpus's stage outputs."""
         meta = self.manifest(name)
         if not meta or meta.get("config_hash") != config_hash:
+            return None
+        if meta.get("input_fingerprint", "") != input_fingerprint:
             return None
         path = self._dir(name)
         if not os.path.isdir(path):

@@ -88,9 +88,14 @@ class IncrementalDedup:
             min_r2=min_r2, jaccard_min=cfg.jaccard_min,
             jaccard_floor=cfg.jaccard_floor,
         )
+        # Materialize `verified` BEFORE appending the batch signatures:
+        # `corpus` lazily reads sig_path, so appending first double-counts
+        # the batch if the parquet read re-lists files (task retry, metadata
+        # refresh) — the join would then see each new file on both sides.
+        verified = verified.localCheckpoint()
         # append state + results
-        new_sigs.write.mode("append").parquet(self.sig_path)
         verified.write.mode("append").parquet(self.pairs_path)
+        new_sigs.write.mode("append").parquet(self.sig_path)
         return verified
 
     # -- streaming wiring ------------------------------------------------------

@@ -100,3 +100,61 @@ def test_config_change_invalidates_checkpoints(spark, tiny_files, tmp_path_facto
     pipe2 = DedupPipeline(spark, cfg2, root)
     pipe2.run(tiny_files)
     assert not any(k.endswith("_resumed") for k in pipe2.metrics), pipe2.metrics
+
+
+def test_empty_shingle_pairs_do_not_divide_by_zero(spark):
+    """Token-free (whitespace-only) files share the sentinel MinHash and
+    always become LSH candidates; the Jaccard expression must not 0/0 under
+    ANSI mode, and the pair must fall through to the InDel kernel."""
+    import pandas as pd
+
+    from spaczz_spark.operators.dedup import minhash_neardup_pairs
+    from spaczz_spark.operators.verify import verify_pairs
+    from spaczz_spark.functions.signatures import (
+        normalize, with_shingles, with_signatures,
+    )
+
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "repo": ["r", "r"],
+                "path": ["a", "b"],
+                "commit": ["c", "c"],
+                "lang": ["txt", "txt"],
+                "content": ["   \n\t ", " \t\t\n"],
+            }
+        )
+    )
+    sigs = with_signatures(with_shingles(normalize(files), 3), 128, 42).select(
+        "file_id", "content_sha256", "content", "n_bytes",
+        "shingles", "n_shingles", "minhash", "simhash",
+    )
+    ids = [r["file_id"] for r in sigs.select("file_id").collect()]
+    pairs = spark.createDataFrame(
+        [(min(ids), max(ids), "minhash")], "a_id long, b_id long, stage string"
+    )
+    rows = verify_pairs(pairs, sigs).collect()  # must not raise DIVIDE_BY_ZERO
+    # whitespace-only contents are similar enough for the InDel kernel
+    assert all(r["verified_by"] in ("sha", "edit_ratio") for r in rows)
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["   \n", " \t "]})
+    )
+    out = minhash_neardup_pairs(docs, k=3, threshold=0.5)
+    assert out.count() == 0  # no shared shingle -> not a Jaccard duplicate
+
+
+def test_different_input_same_config_invalidates_resume(
+    spark, tiny_files, tmp_path_factory
+):
+    """Checkpoint resume keys on (config_hash, input fingerprint): the same
+    config over a DIFFERENT input corpus must rebuild every stage."""
+    root = str(tmp_path_factory.mktemp("ckpt3"))
+    cfg = DedupConfig()
+    DedupPipeline(spark, cfg, root).run(tiny_files)
+
+    other = tiny_files.limit(50)
+    pipe2 = DedupPipeline(spark, cfg, root)
+    pipe2.run(other)
+    assert not any(k.endswith("_resumed") for k in pipe2.metrics), pipe2.metrics
+    assert pipe2.metrics["normalized_rows"] == 50

@@ -90,3 +90,23 @@ def test_all_16_predef_patterns_exist():
 def test_predef_pattern_extraction(name, text, expect):
     m = RE_PATTERNS[name].search(text)
     assert m is not None and m.group().strip() == expect
+
+
+def test_partial_expansion_ratio_uses_span_text():
+    # Reference semantics (regexsearcher.py _spans_from_regex ->
+    # normalize_fuzzy_regex_counts(span.text, ...)): when partial=True
+    # expands a mid-token match to the containing tokens, the ratio is
+    # normalized on the LONGER span text. Here the fuzzy match "nickalas"
+    # (8 chars, counts (1,0,0)) sits inside the token "unickalasy"
+    # (10 chars): span-normalized ratio is 90; normalizing on the raw
+    # match text would give 88.
+    got = regex_match("see unickalasy here", r"(nickolas){s<=1}", min_r=30)
+    assert got == [(1, 2, 90)]
+
+
+def test_exact_boundary_ratio_unchanged_by_span_normalization():
+    # exact-boundary spans have the same length as the raw match, so the
+    # span-text normalization is a no-op for them (golden stays 80)
+    assert regex_match("I live in the US.", r"(USA){d<=1}", ignore_case=False) == [
+        (4, 5, 80)
+    ]
