@@ -137,9 +137,10 @@ def main() -> None:
             for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
         ]
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-        # scaling uses the large corpus so compute dominates fixed stage
+        # scaling uses a large corpus so compute dominates fixed stage
         # orchestration; interleave the two levels to spread host noise
-        scale_path = os.path.join(ensure_fixture("scale"), "files.parquet")
+        scale_fixture = os.environ.get("SPARK_GRAFT_SCALE_FIXTURE", "scale2")
+        scale_path = os.path.join(ensure_fixture(scale_fixture), "files.parquet")
         walls: dict[int, list] = {c: [] for c in pair}
         n = 0
         for _ in range(repeats):

@@ -20,9 +20,11 @@ SPECS = {
     "tiny": (300, 40),
     "small": (1500, 150),
     "bench": (20000, 500),
-    # large corpus for scaling-efficiency evidence (compute must dominate
-    # the fixed per-stage orchestration cost)
+    # large corpora for scaling-efficiency evidence (compute must dominate
+    # the fixed per-stage orchestration cost; scale2 is sized so the
+    # ~30-40s orchestration constant is <7% of the local[2] wall)
     "scale": (100000, 500),
+    "scale2": (200000, 500),
 }
 
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -35,6 +35,7 @@ __all__ = [
     "cosine_topk",
     "cosine_neardup_pairs",
     "lsh_cosine_pairs",
+    "lsh_cosine_topk",
 ]
 
 
@@ -121,6 +122,20 @@ def cosine_neardup_pairs(
     )
 
 
+def _plane_matrix(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    """Deterministic (dim, n_tables*n_bits) Gaussian hyperplane matrix —
+    shared by the corpus sketch and the query multiprobe UDFs so both sides
+    hash into the same buckets."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_tables * n_bits))
+
+
+def _mix_table_keys(keys: np.ndarray, n_tables: int) -> np.ndarray:
+    """Mix the table index into per-table keys so buckets from different
+    tables never collide. ``keys`` has shape (..., n_tables)."""
+    return keys * np.int64(n_tables + 1) + np.arange(n_tables, dtype=np.int64)
+
+
 def make_hyperplane_sketch_udf(dim: int, n_bits: int = 16, n_tables: int = 8,
                                seed: int = 42):
     """pandas UDF: embedding -> array of n_tables bucket keys (sign sketches).
@@ -128,8 +143,7 @@ def make_hyperplane_sketch_udf(dim: int, n_bits: int = 16, n_tables: int = 8,
     One numpy matmul per Arrow batch against a fixed (dim, n_tables*n_bits)
     Gaussian matrix; bits packed per table into an int64 bucket key.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_tables * n_bits))
+    planes = _plane_matrix(dim, n_bits, n_tables, seed)
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     from pyspark.sql.types import ArrayType, LongType
@@ -143,11 +157,132 @@ def make_hyperplane_sketch_udf(dim: int, n_bits: int = 16, n_tables: int = 8,
         signs = (mat @ planes) > 0  # (batch, tables*bits)
         signs = signs.reshape(len(mat), n_tables, n_bits)
         keys = (signs * weights[None, None, :]).sum(axis=2).astype(np.int64)
-        # mix table index in so buckets from different tables never collide
-        keys = keys * np.int64(n_tables + 1) + np.arange(n_tables, dtype=np.int64)
-        return pd.Series(list(keys))
+        return pd.Series(list(_mix_table_keys(keys, n_tables)))
 
     return sketch
+
+
+def make_hyperplane_probe_udf(dim: int, n_bits: int = 8, n_tables: int = 16,
+                              seed: int = 42, n_probes: int = 2):
+    """pandas UDF: embedding -> array of n_tables*(1+n_probes) probe keys.
+
+    Multiprobe LSH (Lv et al., VLDB'07): besides each table's base bucket,
+    probe the buckets reached by flipping the ``n_probes`` sign bits whose
+    hyperplane margin is smallest (the bits most likely to disagree between
+    true neighbors). Probing multiplies only the *query* side's keys — the
+    corpus keeps one key per table — so recall rises without growing the
+    indexed side, which is what matters when the corpus is 10^12 rows and
+    the query set is small.
+    """
+    planes = _plane_matrix(dim, n_bits, n_tables, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    n_probes = min(n_probes, n_bits)
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) if v is not None else
+             np.zeros(dim) for v in vecs]
+        )
+        proj = (mat @ planes).reshape(len(mat), n_tables, n_bits)
+        keys = ((proj > 0) * weights[None, None, :]).sum(axis=2).astype(np.int64)
+        all_keys = [keys]
+        if n_probes:
+            # per (row, table): bit indices ordered by |margin| ascending
+            order = np.argsort(np.abs(proj), axis=2)
+            for pi in range(n_probes):
+                flip = order[:, :, pi].astype(np.int64)
+                all_keys.append(keys ^ (np.int64(1) << flip))
+        stacked = np.stack(all_keys, axis=2)  # (batch, tables, 1+probes)
+        mixed = _mix_table_keys(stacked.transpose(0, 2, 1), n_tables)
+        return pd.Series(list(mixed.reshape(len(mat), -1)))
+
+    return probe
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    *,
+    k: int = 10,
+    dim: int | None = None,
+    n_bits: int = 8,
+    n_tables: int = 16,
+    n_probes: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multiprobe hyperplane LSH.
+
+    The scale path for :func:`cosine_topk` (which is O(|corpus|·|queries|)
+    brute force): the corpus is sketched once into ``n_tables`` sign-bucket
+    keys, each query probes its base bucket plus ``n_probes`` low-margin
+    bit-flips per table, candidates are the bucket-join union, and exact
+    cosine + a per-query window picks the top k. Emitted neighbors are
+    exactly scored, so results are a subset of the exact top-k's candidate
+    universe — recall (fraction of true top-k recovered) is tuned by
+    (n_bits, n_tables, n_probes): fewer bits = bigger buckets = higher
+    recall & cost; more tables/probes = higher recall at linear (table) or
+    query-side-only (probe) cost.
+
+    Plan shape at 10^12-row scale: one narrow sketch stage per side, one
+    shuffle on the bucket key (AQE skew-join handles hot buckets), one
+    shuffle for the per-query top-k window. Nothing is broadcast and the
+    corpus is never crossed with itself.
+
+    Output: (query_id, neighbor_id, cosine, rank) — possibly fewer than k
+    rows per query when recall misses; self-matches are excluded.
+    """
+    if queries is None:
+        queries = corpus
+        query_id_col = query_id_col or id_col
+    else:
+        query_id_col = query_id_col or id_col
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+
+    c = _normalized(corpus, id_col, vec_col)
+    q = _normalized(queries, query_id_col, vec_col).withColumnsRenamed(
+        {"vec_id": "query_id", "nvec": "qvec"}
+    )
+    sketch = make_hyperplane_sketch_udf(dim, n_bits, n_tables, seed)
+    probe = make_hyperplane_probe_udf(dim, n_bits, n_tables, seed, n_probes)
+    c_buckets = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(sketch("nvec")).alias("bucket_key"),
+    )
+    q_buckets = q.select(
+        "query_id", F.explode(probe("qvec")).alias("bucket_key")
+    )
+    cand = (
+        q_buckets.join(c_buckets, "bucket_key")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(q.select("query_id", "qvec"), "query_id")
+        .join(c.withColumnsRenamed({"vec_id": "neighbor_id", "nvec": "nvec"}),
+              "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot("nvec", "qvec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_cosine_pairs(

@@ -395,20 +395,54 @@ def q_emb_topk(spark, sf_dir):
 
 
 def q_emb_lsh_ann(spark, sf_dir):
-    # rows-only check: LSH recall is probabilistic by design; the pytest
-    # suite asserts verified-subset + recall vs the exact result instead.
+    """Hyperplane-LSH near-dup pairs at a *deterministic-recall* config.
+
+    Every emitted pair is exactly cosine-verified, so output ⊆ exact; with
+    (3 bits, 96 tables) the per-pair miss probability at the 0.3 threshold
+    is (1 - p³)^96 ≤ 1.1e-10 (p = 1 - arccos(0.3)/π ≈ 0.597), i.e. the LSH
+    output deterministically EQUALS the brute-force oracle — the same
+    recall-by-config argument the MinHash queries make. This wide config is
+    the oracle fixture; production tuning keeps the (n_bits, n_tables,
+    threshold) knob (see tests for the recall-vs-cost curve).
+    """
     return lsh_cosine_pairs(
-        _emb(spark, sf_dir), threshold=0.3, n_bits=8, n_tables=16
+        _emb(spark, sf_dir), threshold=0.3, n_bits=3, n_tables=96,
+        bucket_cap=4096,
+    )
+
+
+def q_emb_topk_ann(spark, sf_dir):
+    # rows-only check: top-k LSH recall is probabilistic by design (the
+    # k-th neighbor can sit at any cosine); pytest gates recall >= 0.95
+    # vs the exact cosine_topk on the same fixtures.
+    from .operators.ann import lsh_cosine_topk
+
+    return lsh_cosine_topk(
+        _emb(spark, sf_dir), k=5, n_bits=4, n_tables=32, n_probes=2
     )
 
 
 def q_doc_ruler(spark, sf_dir):
+    """Distributed SpaczzRuler (M1 fan-out + M4/M5 resolution) over an
+    exactly-mirrorable pattern set.
+
+    The fuzzy patterns use the engine's integer ``levenshtein`` ratio
+    (SQL-mirrorable by construction — see ratios.levenshtein_ratio) with
+    flex=0, and the regex pattern is a literal token phrase, so a DuckDB
+    oracle reproduces the kernel's token spans and ratios bit-for-bit.
+    The InDel/fuzzy-regex kernel paths of the ruler are pinned by pytest
+    goldens instead (non-SQL-expressible).
+    """
     patterns = [
-        Pattern("QUERYISH", "query big table", "fuzzy", {"min_r": 75}),
-        Pattern("AGGRO", "agg", "fuzzy", {"min_r": 85}),
-        Pattern("TABLE_RE", r"(table){e<=1}", "regex", {"min_r": 70}),
+        Pattern("CUSTOMERISH", "custmer", "fuzzy",
+                {"min_r": 80, "flex": 0, "fuzzy_func": "levenshtein"}),
+        Pattern("VEC", "vectr", "fuzzy",
+                {"min_r": 80, "flex": 0, "fuzzy_func": "levenshtein"}),
+        Pattern("BIGTABLE", "big table", "regex", {}),
     ]
-    return ruler(_docs(spark, sf_dir), patterns)
+    return ruler(_docs(spark, sf_dir), patterns).select(
+        "doc_id", "label", "start", "end", F.col("ratio").cast("long").alias("ratio")
+    )
 
 
 def q_files_pipeline(spark, sf_dir):
@@ -452,6 +486,7 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "emb_topk": q_emb_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
+    "emb_topk_ann": q_emb_topk_ann,
 }
 
 
@@ -631,7 +666,57 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """,
-    # doc_ruler, files_pipeline, emb_lsh_ann: intentionally no oracle —
-    # non-SQL-expressible (InDel kernel / probabilistic LSH recall);
-    # covered by pytest golden/recall gates instead.
+    # emb_lsh_ann: at the (3 bits, 96 tables) config the per-pair miss
+    # probability at threshold 0.3 is <= 1.1e-10, so the exactly-verified
+    # LSH output deterministically equals the brute-force result — the
+    # oracle is the same SQL as emb_neardup.
+    "emb_lsh_ann": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+""",
+    # doc_ruler: the documents fixture text is pure lowercase words + single
+    # spaces, so the engine tokenizer == string_split; fuzzy ratios use the
+    # integer levenshtein formula (exact in BIGINT arithmetic on both
+    # sides); the regex pattern is a literal token bigram. Pattern labels
+    # were chosen with disjoint match-token sets, so the ruler's greedy
+    # overlap resolution is the identity here.
+    "doc_ruler": """
+WITH toks AS (
+  SELECT doc_id, i, ws[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) AS r(i)
+),
+fuzz AS (
+  SELECT doc_id, 'CUSTOMERISH' AS label, i - 1 AS start, i AS "end",
+         (200*(m - d) + m) // (2*m) AS ratio
+  FROM (SELECT doc_id, i,
+               greatest(length(w), 7)::BIGINT AS m,
+               levenshtein(w, 'custmer')::BIGINT AS d
+        FROM toks)
+  WHERE (200*(m - d) + m) // (2*m) >= 80
+  UNION ALL
+  SELECT doc_id, 'VEC' AS label, i - 1 AS start, i AS "end",
+         (200*(m - d) + m) // (2*m) AS ratio
+  FROM (SELECT doc_id, i,
+               greatest(length(w), 5)::BIGINT AS m,
+               levenshtein(w, 'vectr')::BIGINT AS d
+        FROM toks)
+  WHERE (200*(m - d) + m) // (2*m) >= 80
+),
+re AS (
+  SELECT a.doc_id, 'BIGTABLE' AS label, a.i - 1 AS start, a.i + 1 AS "end",
+         100::BIGINT AS ratio
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.w = 'big' AND b.w = 'table'
+)
+SELECT doc_id, label, start, "end", ratio FROM fuzz
+UNION ALL
+SELECT doc_id, label, start, "end", ratio FROM re
+""",
+    # files_pipeline, emb_topk_ann: intentionally no oracle —
+    # non-SQL-expressible (InDel kernel / probabilistic top-k LSH recall);
+    # covered by pytest recall gates instead.
 }

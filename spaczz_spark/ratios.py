@@ -250,6 +250,43 @@ def wratio(s1: str, s2: str, *, score_cutoff: float = 0) -> float:
     return _apply_cutoff(end_ratio, score_cutoff)
 
 
+def levenshtein_distance(s1: Sequence, s2: Sequence) -> int:
+    """Unit-cost Levenshtein distance (two-row DP)."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    if not s2:
+        return len(s1)
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_ratio(s1: str, s2: str, *, score_cutoff: float = 0) -> float:
+    """Unit-cost Levenshtein similarity as an integer percentage.
+
+    **Engine extension** — not one of the reference's 11 registered ratio
+    functions. Exists because plain Levenshtein is the one fuzzy measure
+    every ANSI-SQL engine ships (Spark ``levenshtein``, DuckDB
+    ``levenshtein``), so queries built on it are exactly oracle-checkable.
+    Defined in pure integer arithmetic so SQL mirrors reproduce it
+    bit-for-bit with no float-rounding hazard::
+
+        ratio = (200*(m - d) + m) // (2*m)      # == round_half_up(100*(m-d)/m)
+
+    where ``m = max(len(s1), len(s2))`` and ``d = levenshtein(s1, s2)``.
+    """
+    m = max(len(s1), len(s2))
+    if m == 0:
+        return 100.0
+    d = levenshtein_distance(s1, s2)
+    r = float((200 * (m - d) + m) // (2 * m))
+    return _apply_cutoff(r, score_cutoff)
+
+
 def qratio(s1: str, s2: str, *, score_cutoff: float = 0) -> float:
     """Quick ratio — plain ``ratio`` (0 when either side is empty)."""
     if len(s1) == 0 or len(s2) == 0:
@@ -273,6 +310,9 @@ FUZZY_FUNCS = {
     "weighted": wratio,
     "quick": qratio,
     "partial_alignment": partial_ratio_alignment,
+    # engine extension (not in the reference registry): SQL-mirrorable
+    # integer Levenshtein ratio — see levenshtein_ratio docstring
+    "levenshtein": levenshtein_ratio,
 }
 
 

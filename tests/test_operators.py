@@ -195,3 +195,70 @@ def test_multimodal_fake_decode(spark):
     # deterministic
     decoded2 = decode_images(df, fake=True).collect()
     assert sorted(map(tuple, decoded)) == sorted(map(tuple, decoded2))
+
+
+def test_lsh_cosine_topk_recall(spark):
+    """Multiprobe LSH top-k recalls >= 0.95 of the exact top-k neighbor
+    pairs, and every emitted (query, neighbor, cosine) is exactly scored
+    (subset of the exact candidate universe)."""
+    import numpy as np
+
+    from spaczz_spark.operators.ann import lsh_cosine_topk
+
+    rng = np.random.RandomState(11)
+    mat = rng.standard_normal((120, 16))
+    # plant clusters so top-k neighbors are meaningful, not noise-level
+    for i in range(0, 120, 3):
+        mat[i + 1] = mat[i] + rng.standard_normal(16) * 0.15
+        mat[i + 2] = mat[i] + rng.standard_normal(16) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+        ["vec_id", "embedding"],
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(df, df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in lsh_cosine_topk(
+            df, k=3, n_bits=4, n_tables=24, n_probes=2
+        ).collect()
+    }
+    hit = sum(1 for k in exact if k in approx)
+    assert hit / len(exact) >= 0.95, hit / len(exact)
+    # every recalled pair carries the exact cosine (verified, not sketched)
+    for k, v in approx.items():
+        if k in exact:
+            assert v == exact[k]
+
+
+def test_lsh_cosine_topk_separate_query_table(spark):
+    """Corpus/query split: neighbors come from the corpus side only."""
+    from spaczz_spark.operators.ann import lsh_cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 * (i == j) for j in range(4)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = lsh_cosine_topk(
+        corpus, queries, k=2, n_bits=2, n_tables=8, n_probes=2
+    ).collect()
+    assert all(r["query_id"] == 100 for r in out)
+    assert all(r["neighbor_id"] in (0, 1, 2, 3) for r in out)
+    assert out and out[0]["neighbor_id"] == 0  # e0 is the nearest
+
+
+def test_levenshtein_ratio_registry():
+    """Engine-extension 'levenshtein' fuzzy func: integer-exact formula."""
+    from spaczz_spark.ratios import compare, levenshtein_ratio
+
+    assert levenshtein_ratio("customer", "custmer") == 88.0  # (200*7+8)//16
+    assert levenshtein_ratio("vector", "vectr") == 83.0
+    assert levenshtein_ratio("", "") == 100.0
+    assert levenshtein_ratio("abc", "") == 0.0
+    assert compare("custmer", "customer", fuzzy_func="levenshtein", min_r=80) == 88
+    assert compare("custmer", "column", fuzzy_func="levenshtein", min_r=80) == 0
