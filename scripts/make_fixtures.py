@@ -53,7 +53,82 @@ def make(name: str) -> None:
     )
 
 
+def make_media() -> None:
+    """Committed media fixture: deterministic real image headers (PNG / GIF /
+    BMP / JPEG, baseline + progressive) plus corrupt/truncated/empty blobs,
+    with the true (format, width, height) stored alongside so a DuckDB
+    oracle can check the engine's pure-header decoder bit-for-bit."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    def png(w, h):
+        chunk = b"IHDR" + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + chunk
+                + struct.pack(">I", zlib.crc32(chunk)))
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+
+    def bmp(w, h):
+        return (b"BM" + struct.pack("<I", 54) + b"\x00\x00\x00\x00"
+                + struct.pack("<I", 54) + struct.pack("<I", 40)
+                + struct.pack("<ii", w, h) + struct.pack("<HH", 1, 24)
+                + b"\x00" * 24)
+
+    def jpeg(w, h, marker=b"\xff\xc0"):
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+                + struct.pack(">HH", 1, 1) + b"\x00\x00")
+        sof = (marker + struct.pack(">H", 17) + b"\x08"
+               + struct.pack(">HH", h, w) + b"\x03"
+               + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+    import random
+    rng = random.Random(42)
+    rows = []
+    mid = 0
+    for i in range(40):
+        w, h = rng.randint(1, 4096), rng.randint(1, 4096)
+        kind = i % 5
+        if kind == 0:
+            data, fmt = png(w, h), "png"
+        elif kind == 1:
+            data, fmt = gif(w % 65536, h % 65536), "gif"
+            w, h = w % 65536, h % 65536
+        elif kind == 2:
+            data, fmt = bmp(w, h if i % 2 else -h), "bmp"
+        elif kind == 3:
+            data, fmt = jpeg(w % 65536, h % 65536), "jpeg"
+            w, h = w % 65536, h % 65536
+        else:
+            data, fmt = jpeg(w % 65536, h % 65536, b"\xff\xc2"), "jpeg"
+            w, h = w % 65536, h % 65536
+        # pad with deterministic pseudo-pixel bytes so blobs have size
+        data = data + bytes(rng.randrange(256) for _ in range(rng.randint(0, 512)))
+        rows.append((mid, "image", data, f"image/{fmt}", fmt, w, h))
+        mid += 1
+    # corrupt / truncated / empty blobs decode to NULLs, not failures
+    rows.append((mid, "image", b"not an image at all", "application/octet-stream",
+                 None, None, None)); mid += 1
+    rows.append((mid, "image", png(9, 9)[:12], "image/png", None, None, None)); mid += 1
+    rows.append((mid, "image", b"", "image/png", None, None, None)); mid += 1
+
+    df = pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "data", "mime",
+                 "true_format", "true_width", "true_height"],
+    )
+    df["true_width"] = df["true_width"].astype("Int32")
+    df["true_height"] = df["true_height"].astype("Int32")
+    out = os.path.join(ROOT, "media_small")
+    os.makedirs(out, exist_ok=True)
+    df.to_parquet(os.path.join(out, "media.parquet"), index=False)
+    print(f"media: {len(df)} blobs -> {out}")
+
+
 if __name__ == "__main__":
-    targets = sys.argv[1:] or ["tiny", "small"]
+    targets = sys.argv[1:] or ["tiny", "small", "media"]
     for t in targets:
-        make(t)
+        make_media() if t == "media" else make(t)

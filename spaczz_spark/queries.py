@@ -445,6 +445,22 @@ def q_doc_ruler(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """Pure-header image decode (PNG/GIF/BMP/JPEG) over binary media blobs.
+
+    The committed fixture stores the true (format, width, height) next to
+    each blob, so the DuckDB oracle checks the struct-parser bit-for-bit —
+    including NULL rows for corrupt/truncated/empty blobs."""
+    from .operators.multimodal import decode_images
+
+    media = spark.read.parquet(
+        os.path.join(FIXTURE_ROOT, "media_small", "media.parquet")
+    )
+    return decode_images(media).select(
+        "media_id", "format", "width", "height", "n_bytes"
+    )
+
+
 def q_files_pipeline(spark, sf_dir):
     """Full dedup pipeline (incl. non-SQL InDel verification + provenance)
     on the planted fixture corpus; rows-only driver check, pytest asserts
@@ -487,6 +503,7 @@ QUERIES = {
     "emb_topk": q_emb_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
     "emb_topk_ann": q_emb_topk_ann,
+    "media_decode": q_media_decode,
 }
 
 
@@ -715,6 +732,11 @@ re AS (
 SELECT doc_id, label, start, "end", ratio FROM fuzz
 UNION ALL
 SELECT doc_id, label, start, "end", ratio FROM re
+""",
+    "media_decode": f"""
+SELECT media_id, true_format AS format, true_width AS width,
+       true_height AS height, octet_length(data) AS n_bytes
+FROM read_parquet('{FIXTURE_ROOT}/media_small/media.parquet')
 """,
     # files_pipeline, emb_topk_ann: intentionally no oracle —
     # non-SQL-expressible (InDel kernel / probabilistic top-k LSH recall);

@@ -262,3 +262,55 @@ def test_levenshtein_ratio_registry():
     assert levenshtein_ratio("abc", "") == 0.0
     assert compare("custmer", "customer", fuzzy_func="levenshtein", min_r=80) == 88
     assert compare("custmer", "column", fuzzy_func="levenshtein", min_r=80) == 0
+
+
+def test_parse_image_dims_golden():
+    """Pure-header decoder golden values for all supported containers."""
+    import struct
+    import zlib
+
+    from spaczz_spark.operators.multimodal import parse_image_dims
+
+    chunk = b"IHDR" + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + chunk
+           + struct.pack(">I", zlib.crc32(chunk)))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00;"
+    bmp = (b"BM" + struct.pack("<I", 54) + b"\x00\x00\x00\x00"
+           + struct.pack("<I", 54) + struct.pack("<I", 40)
+           + struct.pack("<ii", 800, -600) + struct.pack("<HH", 1, 24)
+           + b"\x00" * 24)
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof2 = (b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 768, 1024) + b"\x03"
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    jpg = b"\xff\xd8" + app0 + sof2 + b"\xff\xd9"
+
+    assert parse_image_dims(png) == ("png", 640, 480)
+    assert parse_image_dims(gif) == ("gif", 320, 200)
+    assert parse_image_dims(bmp) == ("bmp", 800, 600)  # top-down -> abs
+    assert parse_image_dims(jpg) == ("jpeg", 1024, 768)
+    assert parse_image_dims(b"garbage") == (None, None, None)
+    assert parse_image_dims(png[:12]) == (None, None, None)
+    assert parse_image_dims(b"") == (None, None, None)
+
+
+def test_decode_images_real_headers(spark):
+    """decode_images(fake=False) parses the committed media fixture and
+    matches its stored true metadata, with NULLs for corrupt blobs."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "media_small", "media.parquet",
+    )
+    media = spark.read.parquet(path)
+    got = {r["media_id"]: r for r in decode_images(media).collect()}
+    want = {r["media_id"]: r for r in media.collect()}
+    assert len(got) == len(want)
+    for mid, w in want.items():
+        g = got[mid]
+        assert g["format"] == w["true_format"]
+        assert g["width"] == w["true_width"]
+        assert g["height"] == w["true_height"]
+        assert g["n_bytes"] == len(bytes(w["data"]))
