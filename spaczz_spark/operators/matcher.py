@@ -35,10 +35,17 @@ from pyspark.sql.window import Window
 
 from ..phrasesearch import match as phrase_match
 from ..regexsearch import regex_match
+from ..similaritysearch import similarity_match
 from ..tokenizer import tokenize
 from ..tokensearch import token_spans
 
-__all__ = ["Pattern", "match_patterns", "resolve_matches", "ruler"]
+__all__ = [
+    "Pattern",
+    "match_patterns",
+    "resolve_matches",
+    "apply_callbacks",
+    "ruler",
+]
 
 
 @dataclass(frozen=True)
@@ -68,7 +75,9 @@ MATCH_SCHEMA = ArrayType(
 )
 
 
-def _run_patterns(text: str, patterns: list[Pattern]) -> list[tuple]:
+def _run_patterns(
+    text: str, patterns: list[Pattern], lexicon: dict | None = None
+) -> list[tuple]:
     if not text:
         return []
     doc = tokenize(text)
@@ -82,6 +91,10 @@ def _run_patterns(text: str, patterns: list[Pattern]) -> list[tuple]:
         elif p.type == "token":
             # pattern is the JSON-encoded token-dict list (ruler file shape)
             results = token_spans(doc, json.loads(p.pattern), **p.kwargs)
+        elif p.type == "similarity":
+            # pooled-vector cosine matching against the broadcast lexicon
+            # (reference: matcher/similaritymatcher.py)
+            results = similarity_match(doc, p.pattern, lexicon or {}, **p.kwargs)
         else:
             raise ValueError(f"unknown pattern type {p.type!r}")
         for start, end, ratio in results:
@@ -101,17 +114,28 @@ def match_patterns(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lexicon: dict | None = None,
 ) -> DataFrame:
     """All pattern matches over a document table.
 
     Output: (doc_id, label, start, end, ratio, pattern, type, ent_id) —
     token-index spans, reference ordering within each doc.
+
+    ``lexicon`` (token -> vector) is required by ``type="similarity"``
+    patterns; it is shipped once per executor via a Spark broadcast, not
+    per task.
     """
     plist = list(patterns)
+    bc_lex = (
+        docs.sparkSession.sparkContext.broadcast(lexicon)
+        if lexicon is not None
+        else None
+    )
 
     @F.pandas_udf(MATCH_SCHEMA)
     def run(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _run_patterns(t, plist))
+        lex = bc_lex.value if bc_lex is not None else None
+        return texts.map(lambda t: _run_patterns(t, plist, lex))
 
     return (
         docs.select(
@@ -175,14 +199,59 @@ def resolve_matches(matches: DataFrame) -> DataFrame:
     return best.groupBy("doc_id").applyInPandas(greedy, out_schema)
 
 
+def apply_callbacks(
+    matches: DataFrame, callbacks: dict[str, object]
+) -> DataFrame:
+    """Run per-label ``on_match`` callbacks over the resolved match table.
+
+    Spark analog of the reference's callback hook (reference:
+    ``matcher/_phrasematcher.py:56-66`` — ``on_match(matcher, doc, i,
+    matches)`` invoked per match): at corpus scale there is no mutable Doc,
+    so the callback is a pure function ``on_match(label, doc_id, match
+    dicts) -> match dicts | None`` applied per (doc, label) group inside a
+    grouped-pandas stage (None keeps the group unchanged; returning a list
+    replaces it — matches can be re-scored, re-labeled, or dropped).
+    """
+    cbs = {k: v for k, v in callbacks.items() if v is not None}
+    if not cbs:
+        return matches
+    schema = matches.schema
+    cols = [f.name for f in schema.fields]
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_frames = []
+        for label, grp in pdf.groupby("label", sort=False):
+            cb = cbs.get(label)
+            if cb is None:
+                out_frames.append(grp)
+                continue
+            doc_id = grp["doc_id"].iloc[0]
+            replaced = cb(label, doc_id, grp.to_dict("records"))
+            if replaced is None:
+                out_frames.append(grp)
+            elif len(replaced):
+                out_frames.append(pd.DataFrame(replaced)[cols])
+        if not out_frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(out_frames, ignore_index=True)[cols]
+
+    return matches.groupBy("doc_id").applyInPandas(run_group, schema)
+
+
 def ruler(
     docs: DataFrame,
     patterns: list[Pattern],
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lexicon: dict | None = None,
+    callbacks: dict[str, object] | None = None,
 ) -> DataFrame:
-    """match_patterns + resolve_matches: the SpaczzRuler as one operator."""
-    return resolve_matches(
-        match_patterns(docs, patterns, id_col=id_col, text_col=text_col)
+    """match_patterns + resolve_matches (+ optional on_match callbacks):
+    the SpaczzRuler as one operator."""
+    resolved = resolve_matches(
+        match_patterns(
+            docs, patterns, id_col=id_col, text_col=text_col, lexicon=lexicon
+        )
     )
+    return apply_callbacks(resolved, callbacks or {})

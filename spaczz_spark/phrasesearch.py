@@ -122,9 +122,14 @@ def scan(
     min_r1: int,
     ignore_case: bool = True,
     fuzzy_func: str = "simple",
+    compare_fn=None,
 ) -> dict[int, int] | None:
     """Stride-1 candidate scan: {start index -> ratio} for windows of
-    len(query) tokens whose ratio >= min_r1 (>0 when min_r1 == 0)."""
+    len(query) tokens whose ratio >= min_r1 (>0 when min_r1 == 0).
+
+    ``compare_fn(s1, s2, min_r, ignore_case) -> int`` overrides the named
+    ratio function — the hook the similarity (pooled-vector) searcher uses
+    to reuse this exact scan/optimize control flow."""
     doc_len = len(doc)
     query_len = len(query)
     if not query_len:
@@ -133,13 +138,14 @@ def scan(
     gate = min_r1 if min_r1 else 1
     out: dict[int, int] = {}
     for i in range(doc_len - query_len + 1):
-        r = compare(
-            qtext,
-            doc.span_text(i, i + query_len),
-            min_r=gate,
-            ignore_case=ignore_case,
-            fuzzy_func=fuzzy_func,
-        )
+        wtext = doc.span_text(i, i + query_len)
+        if compare_fn is not None:
+            r = compare_fn(qtext, wtext, gate, ignore_case)
+        else:
+            r = compare(
+                qtext, wtext, min_r=gate, ignore_case=ignore_case,
+                fuzzy_func=fuzzy_func,
+            )
         if r:
             out[i] = r
     return out or None
@@ -161,6 +167,7 @@ def optimize(
     thresh: int = 100,
     ignore_case: bool = True,
     fuzzy_func: str = "simple",
+    compare_fn=None,
 ) -> SearchResult | None:
     """Greedy boundary flexing around one scan hit; returns the best
     (start, end, ratio) if ratio >= min_r2, else None."""
@@ -168,6 +175,8 @@ def optimize(
     qtext = query.span_text(0, len(query))
 
     def cmp(lo: int, hi: int, cutoff: int) -> int:
+        if compare_fn is not None:
+            return compare_fn(qtext, doc.span_text(lo, hi), cutoff, ignore_case)
         return compare(
             qtext,
             doc.span_text(lo, hi),
@@ -242,6 +251,7 @@ def match(
     flex: int | str = "default",
     ignore_case: bool = True,
     fuzzy_func: str = "simple",
+    compare_fn=None,
 ) -> list[SearchResult]:
     """Two-phase fuzzy phrase search over one document."""
     if isinstance(doc, str):
@@ -252,7 +262,8 @@ def match(
     r1, r2 = set_ratios(min_r, min_r1, min_r2)
     r1, r2, thresh_ = check_ratios(r1, r2, thresh, flex_)
     match_map = scan(
-        doc, query, min_r1=r1, ignore_case=ignore_case, fuzzy_func=fuzzy_func
+        doc, query, min_r1=r1, ignore_case=ignore_case, fuzzy_func=fuzzy_func,
+        compare_fn=compare_fn,
     )
     if not match_map:
         return []
@@ -268,6 +279,7 @@ def match(
             thresh=thresh_,
             ignore_case=ignore_case,
             fuzzy_func=fuzzy_func,
+            compare_fn=compare_fn,
         )
         if res:
             results.append(res)

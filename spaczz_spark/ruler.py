@@ -17,20 +17,27 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame
 
 from .operators.matcher import Pattern, ruler as _ruler_op
 
-__all__ = ["SpaczzRuler"]
+__all__ = ["SpaczzRuler", "KwargsWarning"]
 
-_VALID_TYPES = {"fuzzy", "regex", "token"}
+_VALID_TYPES = {"fuzzy", "regex", "token", "similarity"}
+
+
+class KwargsWarning(UserWarning):
+    """len(kwargs) != len(patterns) in ``add`` — zip-padded/truncated
+    (reference contract: ``matcher/_phrasematcher.py:119-135``)."""
 
 
 class SpaczzRuler:
     def __init__(self, defaults: dict | None = None):
         self._patterns: list[Pattern] = []
         self.defaults = dict(defaults or {})
+        self._callbacks: dict[str, object] = {}
 
     # -- CRUD (M2) -------------------------------------------------------------
     def add_patterns(self, entries: list[dict]) -> None:
@@ -57,6 +64,51 @@ class SpaczzRuler:
                 )
             )
 
+    def add(
+        self,
+        label: str,
+        patterns: list,
+        kwargs: list[dict] | None = None,
+        type: str = "fuzzy",
+        on_match=None,
+    ) -> None:
+        """Matcher-style add (reference: ``matcher/_phrasematcher.py:108-145``):
+        one label, a list of patterns, an optional parallel kwargs list
+        (zip-padded/truncated with a KwargsWarning on length mismatch), and
+        an optional per-label ``on_match`` callback applied after span
+        resolution (see ``operators.matcher.apply_callbacks``)."""
+        if not isinstance(patterns, list):
+            raise TypeError("patterns must be a list")
+        if kwargs is None:
+            kwargs = [{} for _ in patterns]
+        elif len(kwargs) < len(patterns):
+            warnings.warn(
+                "There are more patterns then there are kwargs. "
+                "Patterns not matched to a kwarg dict will have "
+                "default settings.",
+                KwargsWarning,
+                stacklevel=2,
+            )
+            kwargs = kwargs + [{} for _ in range(len(patterns) - len(kwargs))]
+        elif len(kwargs) > len(patterns):
+            warnings.warn(
+                "There are more kwargs dicts than patterns. "
+                "The extra kwargs will be ignored.",
+                KwargsWarning,
+                stacklevel=2,
+            )
+            kwargs = kwargs[: len(patterns)]
+        for kw in kwargs:
+            if not isinstance(kw, dict):
+                raise TypeError("kwargs must be a list of dicts")
+        self.add_patterns(
+            [
+                {"label": label, "pattern": p, "type": type, "kwargs": kw}
+                for p, kw in zip(patterns, kwargs)
+            ]
+        )
+        self._callbacks[label] = on_match
+
     def remove(self, label: str) -> int:
         """Remove all patterns under a label; returns how many were removed."""
         before = len(self._patterns)
@@ -64,6 +116,7 @@ class SpaczzRuler:
         removed = before - len(self._patterns)
         if not removed:
             raise ValueError(f"no patterns with label {label!r}")
+        self._callbacks.pop(label, None)
         return removed
 
     @property
@@ -125,8 +178,18 @@ class SpaczzRuler:
 
     # -- execution (M1/M4/M5) ----------------------------------------------------
     def apply(
-        self, docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        lexicon: dict | None = None,
     ) -> DataFrame:
         return _ruler_op(
-            docs, self._patterns, id_col=id_col, text_col=text_col
+            docs,
+            self._patterns,
+            id_col=id_col,
+            text_col=text_col,
+            lexicon=lexicon,
+            callbacks=self._callbacks,
         )

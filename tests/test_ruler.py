@@ -64,3 +64,91 @@ def test_apply_runs_all_three_types(spark):
     assert {"fuzzy", "token"} <= types
     labels = {row["label"] for row in out}
     assert "NAME" in labels and "DRUG" in labels
+
+
+def test_similarity_searcher_golden():
+    """Mirror of reference test_similaritymatcher expectations (reference:
+    matcher/similaritymatcher.py docstring example — 'I like apples.' with
+    pattern 'fruit' at min_r 60 -> ('FRUIT', 2, 3, 70)): ratio is
+    round(cosine(pooled vectors) * 100)."""
+    import math
+
+    from spaczz_spark.similaritysearch import similarity_compare, similarity_match
+
+    lexicon = {
+        "fruit": [1.0, 0.0],
+        "apples": [0.7, math.sqrt(1 - 0.49)],  # cos(apples, fruit) = 0.7
+    }
+    assert similarity_compare("apples", "fruit", lexicon) == 70
+    assert similarity_compare("like apples", "fruit", lexicon) == 70  # pooling
+    assert similarity_compare("nothing here", "fruit", lexicon) == 0  # no vectors
+    got = similarity_match("I like apples.", "fruit", lexicon, min_r=60)
+    assert got == [(2, 3, 70)]
+    assert similarity_match("I like apples.", "fruit", lexicon, min_r=75) == []
+
+
+def test_similarity_ruler_distributed(spark):
+    import math
+
+    r = SpaczzRuler()
+    r.add("FRUIT", ["fruit"], [{"min_r": 60}], type="similarity")
+    docs = spark.createDataFrame(
+        [(1, "I like apples."), (2, "pure garbage tokens")],
+        ["doc_id", "text"],
+    )
+    lexicon = {"fruit": [1.0, 0.0], "apples": [0.7, math.sqrt(1 - 0.49)]}
+    out = r.apply(docs, lexicon=lexicon).collect()
+    assert [(x["doc_id"], x["label"], x["start"], x["end"], x["ratio"])
+            for x in out] == [(1, "FRUIT", 2, 3, 70)]
+
+
+def test_add_kwargs_zip_padding_warnings():
+    """Reference contract (matcher/_phrasematcher.py:119-135): kwargs list
+    shorter than patterns warns + pads; longer warns + truncates."""
+    import pytest as _pytest
+
+    from spaczz_spark.ruler import KwargsWarning
+
+    r = SpaczzRuler()
+    with _pytest.warns(KwargsWarning):
+        r.add("A", ["one", "two"], [{"min_r": 90}])
+    assert len(r) == 2
+    assert r.patterns[0]["kwargs"] == {"min_r": 90}
+    assert "kwargs" not in r.patterns[1]  # padded default = {}
+
+    r2 = SpaczzRuler()
+    with _pytest.warns(KwargsWarning):
+        r2.add("B", ["one"], [{"min_r": 90}, {"min_r": 50}])
+    assert len(r2) == 1
+    assert r2.patterns[0]["kwargs"] == {"min_r": 90}
+
+    with _pytest.raises(TypeError):
+        r2.add("C", "not-a-list")
+    with _pytest.raises(TypeError):
+        r2.add("D", ["x"], ["not-a-dict"])
+
+
+def test_on_match_callback(spark):
+    """Per-label on_match callbacks run post-resolution and may re-label,
+    re-score, or drop matches (pure function — the scale analog of the
+    reference's mutate-the-Doc callback)."""
+
+    def boost(label, doc_id, matches):
+        return [{**m, "ratio": 100, "ent_id": "boosted"} for m in matches]
+
+    def drop(label, doc_id, matches):
+        return []
+
+    r = SpaczzRuler()
+    r.add("NAME", ["grant andersen"], [{"min_r": 75}], on_match=boost)
+    r.add("GONE", ["acme corp"], [{"min_r": 75}], on_match=drop)
+    docs = spark.createDataFrame(
+        [(1, "grint anderson works at acme corp.")], ["doc_id", "text"]
+    )
+    rows = r.apply(docs).collect()
+    assert len(rows) == 1  # GONE matched but its callback dropped it
+    assert rows[0]["label"] == "NAME"
+    assert rows[0]["ratio"] == 100 and rows[0]["ent_id"] == "boosted"
+    # removing the label also removes its callback
+    r.remove("GONE")
+    assert "GONE" not in r
