@@ -314,3 +314,48 @@ def test_decode_images_real_headers(spark):
         assert g["width"] == w["true_width"]
         assert g["height"] == w["true_height"]
         assert g["n_bytes"] == len(bytes(w["data"]))
+
+
+def test_containment_pairs_winnowed_recall(spark):
+    """Winnowed containment: output equals brute-force `in` containment
+    (perfect recall via the first-window-min anchor), with ~w x fewer host
+    anchor rows than the every-position form."""
+    import random
+
+    from spaczz_spark.operators.substring import containment_pairs
+
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    def text(n): return " ".join(rng.choice(words) for _ in range(n))
+    needles = [text(60) for _ in range(4)]           # ~350+ chars each
+    hosts = [
+        text(40) + " " + needles[0] + " " + text(40),
+        needles[1] + " " + text(80),                  # prefix containment
+        text(80) + " " + needles[2],                  # suffix containment
+        text(200),                                    # no containment
+    ]
+    rows = [(i, t) for i, t in enumerate(needles)] + [
+        (100 + i, t) for i, t in enumerate(hosts)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in containment_pairs(df, min_len=200).collect()
+    }
+    want = {
+        (a, b)
+        for a, ta in rows
+        for b, tb in rows
+        if a != b and len(ta) >= 200 and len(ta) < len(tb) and ta in tb
+    }
+    assert got == want and len(want) >= 3
+
+    # host anchor volume: winnowed rows << one-per-position
+    from spaczz_spark.operators.substring import winnow_fingerprints
+    for _, t in rows:
+        n_positions = max(len(t.encode()) - 63, 1)
+        n_winnowed = len(winnow_fingerprints(t, 64, 32))
+        # expected density ~2/(w+1); allow headroom for repeated-text minima
+        assert n_winnowed <= max(3.5 * n_positions / 32 + 4, 6), (
+            n_winnowed, n_positions
+        )
