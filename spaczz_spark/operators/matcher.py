@@ -19,7 +19,9 @@ conflict resolution:
 from __future__ import annotations
 
 import json
+from collections import Counter
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -75,17 +77,74 @@ MATCH_SCHEMA = ArrayType(
 )
 
 
+# Fuzzy ratio functions for which the character-multiset screen below is a
+# PROVEN upper bound (the pattern string enters the comparison verbatim, so
+# ratio <= 200 * |multiset ∩| / len(pattern); token_set/token/weighted can
+# shorten the pattern side by deduping tokens and are excluded).
+_SCREENABLE_FUNCS = {"simple", "partial", "quick", "levenshtein"}
+
+
+@lru_cache(maxsize=4096)
+def _pattern_doc(pattern: str):
+    """Per-worker cache: tokenize each pattern once, not once per document."""
+    return tokenize(pattern)
+
+
+@lru_cache(maxsize=4096)
+def _pattern_counter(pattern: str, lower: bool) -> tuple[Counter, int]:
+    s = pattern.lower() if lower else pattern
+    return Counter(s), len(s)
+
+
+def _screen_gate(kwargs: dict) -> int:
+    """The weakest ratio gate any window must pass for this fuzzy pattern.
+
+    The scan gate is min_r1 (given, else round(min_r/1.5)); parameter
+    resolution can only RAISE it (flex=0 sets it to min_r2), so using the
+    unresolved minimum keeps the screen lossless."""
+    min_r = kwargs.get("min_r", 75)
+    r1 = kwargs.get("min_r1")
+    if r1 is None:
+        r1 = round(min_r / 1.5)
+    r2 = kwargs.get("min_r2")
+    if r2 is None:
+        r2 = min_r
+    return max(min(r1, r2), 0)
+
+
 def _run_patterns(
     text: str, patterns: list[Pattern], lexicon: dict | None = None
 ) -> list[tuple]:
     if not text:
         return []
     doc = tokenize(text)
+    doc_counters: dict[bool, Counter] = {}
     out = []
     seen = set()
     for p in patterns:
         if p.type == "fuzzy":
-            results = phrase_match(doc, p.pattern, **p.kwargs)
+            # Lossless prefilter: any window w satisfies
+            #   ratio(p, w) <= 200*LCS/(len_p+len_w) <= 200*I/len_p
+            # where I is the character-multiset intersection of the pattern
+            # with the WHOLE doc (LCS chars are common chars). If even that
+            # bound misses the scan gate, no window can match — skip the
+            # O(windows x kernel) scan entirely. Honest scope: because I is
+            # doc-level it saturates on long same-script text; it prunes
+            # when the pattern needs characters the doc simply lacks
+            # (cross-script corpora, symbol-heavy entity lists) and costs
+            # one Counter(text) per doc otherwise (~15% of kernel time).
+            gate = _screen_gate(p.kwargs)
+            func = p.kwargs.get("fuzzy_func", "simple")
+            if gate > 0 and func in _SCREENABLE_FUNCS:
+                ic = p.kwargs.get("ignore_case", True)
+                if ic not in doc_counters:
+                    doc_counters[ic] = Counter(text.lower() if ic else text)
+                pc, plen = _pattern_counter(p.pattern, ic)
+                dc = doc_counters[ic]
+                inter = sum(min(n, dc.get(ch, 0)) for ch, n in pc.items())
+                if plen and 200 * inter < gate * plen:
+                    continue
+            results = phrase_match(doc, _pattern_doc(p.pattern), **p.kwargs)
         elif p.type == "regex":
             results = regex_match(doc, p.pattern, **p.kwargs)
         elif p.type == "token":

@@ -121,6 +121,22 @@ class CheckpointCatalog:
         AND the input dataset identity — a re-run over a *different* input
         with the same config must rebuild, not silently resume the previous
         corpus's stage outputs."""
+        if self.use_iceberg:  # pragma: no cover - needs Iceberg runtime jar
+            try:
+                props = {
+                    r["key"]: r["value"]
+                    for r in self.spark.sql(
+                        f"SHOW TBLPROPERTIES {self.namespace}.{name}"
+                    ).collect()
+                }
+            except Exception:
+                return None
+            if props.get("spaczz.config_hash") != config_hash:
+                return None
+            if props.get("spaczz.input_fingerprint", "") != input_fingerprint:
+                return None
+            return self.spark.read.table(f"{self.namespace}.{name}")
+
         meta = self.manifest(name)
         if not meta or meta.get("config_hash") != config_hash:
             return None

@@ -134,3 +134,46 @@ def test_match_bpl_would_equal_bpr():
 def test_filter_overlapping_matches():
     # reference: searchutil.py docstring
     assert ps.filter_overlapping_matches([(1, 3, 80), (1, 2, 70)]) == [(1, 3, 80)]
+
+
+def test_matcher_prefilter_is_lossless():
+    """The character-multiset screen in operators.matcher never drops a doc
+    that the unscreened kernel would match (byte-identical output)."""
+    import random
+
+    from spaczz_spark.operators.matcher import Pattern, _run_patterns
+    from spaczz_spark.phrasesearch import match as phrase_match
+    from spaczz_spark.tokenizer import tokenize
+
+    rng = random.Random(5)
+    vocab = ["table", "tabel", "grant", "grunt", "anderson", "andersen",
+             "query", "big", "data", "zzz", "qqq"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ] + ["", "zzz qqq", "grant andersen"]
+    pattern_specs = [
+        ("grant andersen", {"min_r": 75}),
+        ("query big table", {"min_r": 60}),
+        ("tabel", {"min_r": 75, "fuzzy_func": "partial"}),
+        ("anderson", {"min_r": 90, "min_r1": 30}),
+        ("zzz", {"min_r": 75, "fuzzy_func": "levenshtein", "flex": 0}),
+    ]
+    patterns = [Pattern(f"P{i}", q, "fuzzy", kw)
+                for i, (q, kw) in enumerate(pattern_specs)]
+    for text in docs:
+        screened = [m for m in _run_patterns(text, patterns)]
+        unscreened = []
+        if text:
+            doc = tokenize(text)
+            seen = set()
+            for p in patterns:
+                for s, e, r in phrase_match(doc, p.pattern, **p.kwargs):
+                    key = (p.label, s, e, r, p.pattern)
+                    if key not in seen:
+                        seen.add(key)
+                        unscreened.append(
+                            (p.label, s, e, r, p.pattern, p.type, p.id)
+                        )
+            unscreened.sort(key=lambda m: (m[1], -(m[2] - m[1]), -m[3], m[4]))
+        assert screened == unscreened, (text, screened, unscreened)
