@@ -152,3 +152,59 @@ def test_on_match_callback(spark):
     # removing the label also removes its callback
     r.remove("GONE")
     assert "GONE" not in r
+
+
+def test_token_and_span_provenance(spark):
+    """Reference customattrs parity (customattrs.py:60-116): span getters
+    return the common value iff all tokens agree (else None), spaczz_ent
+    iff every span token is covered, doc getter = any covered token."""
+    from spaczz_spark.operators.matcher import Pattern, ruler
+    from spaczz_spark.operators.provenance import (
+        doc_provenance,
+        span_provenance,
+        token_provenance,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "grint anderson works at acme corp."), (2, "nothing to see")],
+        ["doc_id", "text"],
+    )
+    pats = [
+        Pattern("NAME", "grant andersen", "fuzzy", {"min_r": 75}),
+        Pattern("ORG", "acme corp", "fuzzy", {"min_r": 85}),
+    ]
+    matches = ruler(docs, pats)
+    tok = token_provenance(matches)
+    tok_rows = {(r["doc_id"], r["token_i"]): r for r in tok.collect()}
+    assert (1, 0) in tok_rows and tok_rows[(1, 0)]["label"] == "NAME"
+    assert (1, 4) in tok_rows and tok_rows[(1, 4)]["label"] == "ORG"
+    assert (1, 2) not in tok_rows  # "works" is unmatched
+
+    spans = spark.createDataFrame(
+        [
+            (1, 0, 2),   # exactly the NAME span -> all getters agree
+            (1, 0, 3),   # NAME + unmatched token -> ent False, attrs None
+            (1, 3, 6),   # "at acme corp" -> partially covered
+            (1, 0, 6),   # NAME + ORG tokens + gaps -> types set has both
+            (2, 0, 2),   # uncovered doc
+        ],
+        ["doc_id", "span_start", "span_end"],
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r
+        for r in span_provenance(tok, spans).collect()
+    }
+    exact = got[(1, 0, 2)]
+    assert exact["spaczz_ent"] is True
+    assert exact["spaczz_type"] == "fuzzy" and exact["spaczz_ratio"] is not None
+    over = got[(1, 0, 3)]
+    assert over["spaczz_ent"] is False and over["spaczz_type"] is None
+    assert got[(1, 3, 6)]["spaczz_ent"] is False
+    assert got[(1, 0, 6)]["spaczz_types"] == ["fuzzy"]
+    empty = got[(2, 0, 2)]
+    assert empty["spaczz_ent"] is False and empty["spaczz_types"] == []
+
+    doc_rows = {r["doc_id"]: r for r in doc_provenance(tok, docs).collect()}
+    assert doc_rows[1]["spaczz_doc"] is True
+    assert doc_rows[1]["spaczz_types"] == ["fuzzy"]
+    assert doc_rows[2]["spaczz_doc"] is False and doc_rows[2]["spaczz_types"] == []
