@@ -353,6 +353,10 @@ def q_files_components(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
+    """ORACLE FIXTURE (deliberately O(n²)): exact all-pairs cosine, the
+    DuckDB-mirrorable ground truth. The production path at scale is
+    :func:`q_emb_lsh_ann` / ``operators.ann.lsh_cosine_pairs`` (bucketed,
+    never crosses the corpus with itself)."""
     # small single-file input: spread the big (join-left) side across cores
     e = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     a = e.select(
@@ -376,6 +380,9 @@ def q_emb_neardup(spark, sf_dir):
 
 
 def q_emb_topk(spark, sf_dir):
+    """ORACLE FIXTURE (deliberately brute-force): exact top-k with the
+    full table broadcast as the query side. The production path at scale
+    is :func:`q_emb_topk_ann` / ``operators.ann.lsh_cosine_topk``."""
     e = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     n = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
