@@ -59,3 +59,52 @@ def test_streaming_available_now(spark, split_corpus, tmp_path):
     ids = {r["file_id"] for r in sigs.select("file_id").collect()}
     for r in pairs.select("a_id", "b_id").collect():
         assert r["a_id"] in ids and r["b_id"] in ids
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Watermarked tumbling windows over a file stream (availableNow):
+    emitted rows equal the batch group-by restricted to windows the final
+    watermark closed (append-mode contract)."""
+    import pandas as pd
+
+    from spaczz_spark.streaming.windows import (
+        run_windowed_counts,
+        windowed_event_counts,
+    )
+
+    rng_rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(500):
+        rng_rows.append(
+            {
+                "ts": base + pd.Timedelta(minutes=(i * 7) % (48 * 60)),
+                "event_type": ["click", "view", "buy"][i % 3],
+                "value": float(i % 50) / 7,
+            }
+        )
+    pdf = pd.DataFrame(rng_rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS parquet
+    inp = tmp_path / "events_in"
+    inp.mkdir()
+    pdf.iloc[:300].to_parquet(str(inp / "a.parquet"), index=False)
+    pdf.iloc[300:].to_parquet(str(inp / "b.parquet"), index=False)
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = run_windowed_counts(
+        spark, str(inp), out, ck, window="1 hour", watermark="0 seconds"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = windowed_event_counts(spark.createDataFrame(pdf), window="1 hour")
+    max_ts = pdf["ts"].max()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+        if r["window_end"] <= max_ts.to_pydatetime()
+    }
+    assert got == want and len(want) > 50
