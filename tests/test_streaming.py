@@ -108,3 +108,63 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
         if r["window_end"] <= max_ts.to_pydatetime()
     }
     assert got == want and len(want) > 50
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: open sessions survive across
+    micro-batches; a gap closes and emits the session exactly once."""
+    import pandas as pd
+
+    from spaczz_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    def rows(spec):
+        return pd.DataFrame(
+            [{"user_id": u, "ts": (base + pd.Timedelta(minutes=m))}
+             for u, m in spec]
+        ).astype({"ts": "datetime64[us]"})
+
+    inp = tmp_path / "sess_in"; inp.mkdir()
+    # batch 1: u1 two events 10 min apart (one open session);
+    #          u2 one event
+    rows([("u1", 0), ("u1", 10), ("u2", 5)]).to_parquet(
+        str(inp / "b1.parquet"), index=False)
+
+    out = str(tmp_path / "sess_out"); ck = str(tmp_path / "sess_ck")
+
+    def run():
+        schema = spark.read.parquet(str(inp)).schema
+        stream = spark.readStream.schema(schema).parquet(str(inp))
+        q = (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 0  # nothing closed yet
+
+    # batch 2: u1 event 2h later -> closes u1's first session (2 events);
+    #          u2 event 10 min later -> still open
+    rows([("u1", 130), ("u2", 15)]).to_parquet(
+        str(inp / "b2.parquet"), index=False)
+    run()
+    got = [
+        (r["user_id"], r["n_events"],
+         (r["session_end"] - r["session_start"]) / 60.0)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got == [("u1", 2, 10.0)], got
+
+    # batch 3: u2 event 3h later -> closes u2's 2-event session
+    rows([("u2", 200)]).to_parquet(str(inp / "b3.parquet"), index=False)
+    run()
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("u1", 2), ("u2", 2)], got
