@@ -97,6 +97,9 @@ def main() -> None:
         "tpch_q1",
         "emb_neardup",
         "emb_topk",
+        "emb_topk_ann",
+        "doc_ruler",
+        "media_decode",
         "files_neardup_pairs",
         "files_substring_pairs",
         "files_components",
