@@ -53,7 +53,9 @@ def session(cores: int):
     return s
 
 
-def run_pipeline(spark, files_path: str) -> tuple[float, int]:
+def run_pipeline(
+    spark, files_path: str, metrics_out: dict | None = None
+) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     from spaczz_spark.plans.config import DedupConfig
@@ -67,7 +69,15 @@ def run_pipeline(spark, files_path: str) -> tuple[float, int]:
         pipe = DedupPipeline(spark, DedupConfig(), ckpt)
         comps = pipe.run(files)
         # force full materialization
+        t1 = time.time()
         comps.select(F.count(F.lit(1)), F.countDistinct("component_id")).collect()
+        if metrics_out is not None:
+            stage_sec = {
+                k: v for k, v in pipe.metrics.items() if k.endswith("_sec")
+            }
+            stage_sec["final_collect_sec"] = round(time.time() - t1, 2)
+            stage_sec["cc_iterations"] = pipe.metrics.get("cc_iterations", -1)
+            metrics_out.update(stage_sec)
         return time.time() - t0, n
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -80,12 +90,17 @@ def main() -> None:
     files_path = os.path.join(fixture, "files.parquet")
 
     results: dict[str, float] = {}
-    spark = session(CPUS)
+    skip_headline = os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") == "1"
+    spark = None
+    if not skip_headline:
+        spark = session(CPUS)
 
-    # headline: full dedup pipeline on the bench corpus
-    wall, n_files = run_pipeline(spark, files_path)
-    results["files_pipeline"] = round(wall, 3)
-    files_per_sec = n_files / wall
+        # headline: full dedup pipeline on the bench corpus
+        wall, n_files = run_pipeline(spark, files_path)
+        results["files_pipeline"] = round(wall, 3)
+        files_per_sec = n_files / wall
+    else:
+        n_files, files_per_sec = 0, 0.0
 
     # representative operator queries over driver testdata
     bench_queries = [
@@ -104,7 +119,7 @@ def main() -> None:
         "files_substring_pairs",
         "files_components",
     ]
-    for name in bench_queries:
+    for name in ([] if skip_headline else bench_queries):
         fn = Q.QUERIES[name]
         t0 = time.time()
         try:
@@ -130,7 +145,8 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        spark.stop()
+        if spark is not None:
+            spark.stop()
         # N vs 4N cores. The sandbox advertises 32 CPUs but measured
         # parallel throughput saturates at ~14.5 effective cores (host
         # overcommit; see BENCH/BASELINE.md), so the honest 4x-capacity
@@ -145,20 +161,25 @@ def main() -> None:
         scale_fixture = os.environ.get("SPARK_GRAFT_SCALE_FIXTURE", "scale2")
         scale_path = os.path.join(ensure_fixture(scale_fixture), "files.parquet")
         walls: dict[int, list] = {c: [] for c in pair}
+        stage_metrics: dict[int, list] = {c: [] for c in pair}
         n = 0
         for _ in range(repeats):
             for cores in pair:
                 s = session(cores)
-                w, n = run_pipeline(s, scale_path)
+                m: dict = {}
+                w, n = run_pipeline(s, scale_path, metrics_out=m)
                 walls[cores].append(w)
+                stage_metrics[cores].append(m)
                 s.stop()
         scaling = {}
         for cores in pair:
             best = min(walls[cores])
+            ibest = walls[cores].index(best)
             scaling[f"local[{cores}]"] = {
                 "wall_sec_min": round(best, 2),
                 "wall_sec_all": [round(w, 2) for w in walls[cores]],
                 "files_per_sec": round(n / best, 2),
+                "stage_sec_best": stage_metrics[cores][ibest],
             }
         lo, hi = pair
         tput_lo = scaling[f"local[{lo}]"]["files_per_sec"]

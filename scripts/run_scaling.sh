@@ -1,4 +1,9 @@
 #!/bin/bash
 cd /root/repo
-export SPARK_GRAFT_SCALING=1 SPARK_GRAFT_SCALE_REPEATS=3 SPARK_GRAFT_SCALE_FIXTURE=scale2
-exec python bench.py > /root/repo/BENCH/scaling_r2.json 2> /root/repo/BENCH/scaling_r2.log
+export SPARK_GRAFT_SCALING=1
+export SPARK_GRAFT_SCALE_REPEATS="${SPARK_GRAFT_SCALE_REPEATS:-3}"
+export SPARK_GRAFT_SCALE_FIXTURE="${SPARK_GRAFT_SCALE_FIXTURE:-scale2}"
+export SPARK_GRAFT_SCALE_PAIR="${SPARK_GRAFT_SCALE_PAIR:-2,8}"
+export SPARK_GRAFT_SKIP_HEADLINE="${SPARK_GRAFT_SKIP_HEADLINE:-0}"
+OUT="${1:-/root/repo/BENCH/scaling_run.json}"
+exec python bench.py > "$OUT" 2> "${OUT%.json}.log"

@@ -88,68 +88,72 @@ def verify_pairs(
     verified_by in ('sha', 'jaccard', 'edit_ratio').
 
     ``corpus`` must carry (file_id, content, content_sha256, shingles).
-    The edit-ratio UDF only runs on pairs with
-    ``jaccard_floor <= jaccard < jaccard_min`` — pairs already accepted by
-    Jaccard or the sha fast path never cross into Python, and pairs far
-    below the floor are rejected on Jaccard alone.
+
+    Two-phase plan (the verify join is the pipeline's widest shuffle, and
+    its scaling is bounded by bytes-in-flight, not CPU):
+
+    1. **slim phase** — the pair sides join only (sha256, shingles); sha
+       equality and exact Jaccard decide most pairs without ``content``
+       ever crossing an exchange. The slim scored table is localCheckpointed
+       once so the two consumers below don't re-evaluate the join (at
+       warehouse scale this intermediate would be a catalog checkpoint).
+    2. **kernel phase** — only pairs in the ``[jaccard_floor, jaccard_min)``
+       band (plus empty-shingle pairs: token-free files share the sentinel
+       MinHash, and their 0/0 Jaccard is defined as 0.0 rather than an ANSI
+       abort) join ``content`` and enter the Arrow InDel kernel — typically
+       a small fraction of candidates, so the wide payload and the Python
+       boundary both shrink by that factor.
     """
-    joined = attach_pair_sides(
-        pairs, corpus, ["content", "content_sha256", "shingles"]
-    )
+    slim = attach_pair_sides(pairs, corpus, ["content_sha256", "shingles"])
 
     sha_eq = F.col("a_content_sha256") == F.col("b_content_sha256")
-    # Token-free contents (whitespace-only files) have empty shingle sets;
-    # they share the sentinel MinHash signature, so they always arrive here
-    # as candidates. 0/0 aborts the job under ANSI mode — define the empty
-    # union as Jaccard 0.0 and let the InDel kernel decide those pairs on
-    # raw content (see kernel_gate below).
     union_sz = F.size(F.array_union("a_shingles", "b_shingles"))
-    scored = joined.withColumn(
+    scored = (
+        slim.withColumn(
+            "jaccard",
+            F.when(sha_eq, F.lit(1.0))
+            .when(union_sz == 0, F.lit(0.0))
+            .otherwise(
+                F.size(F.array_intersect("a_shingles", "b_shingles")) / union_sz
+            ),
+        )
+        .withColumn("sha_eq", sha_eq)
+        .withColumn(
+            "kernel_band",
+            ~sha_eq
+            & (F.col("jaccard") < jaccard_min)
+            & ((F.col("jaccard") >= jaccard_floor) | (union_sz == 0)),
+        )
+        .select("a_id", "b_id", "stage", "jaccard", "sha_eq", "kernel_band")
+        .localCheckpoint()
+    )
+
+    decided = scored.where(
+        F.col("sha_eq") | (F.col("jaccard") >= jaccard_min)
+    ).select(
+        "a_id",
+        "b_id",
+        "stage",
         "jaccard",
-        F.when(sha_eq, F.lit(1.0))
-        .when(union_sz == 0, F.lit(0.0))
-        .otherwise(
-            F.size(F.array_intersect("a_shingles", "b_shingles")) / union_sz
-        ),
+        F.when(F.col("sha_eq"), F.lit(100)).cast("int").alias("edit_ratio"),
+        F.when(F.col("sha_eq"), F.lit("sha")).otherwise("jaccard")
+        .alias("verified_by"),
     )
 
-    # Single pass (a union of two filtered branches would re-evaluate the
-    # expensive pair-side joins once per branch). The InDel kernel only runs
-    # for pairs in the [floor, min) jaccard band: pandas UDFs are extracted
-    # into an unconditional projection, so the gate is applied by
-    # null-masking the inputs — the kernel returns 0 for nulls immediately.
     edit_udf = make_edit_ratio_udf()
-    kernel_gate = (
-        ~sha_eq
-        & (F.col("jaccard") < jaccard_min)
-        & ((F.col("jaccard") >= jaccard_floor) | (union_sz == 0))
-    )
-    scored = scored.withColumn(
-        "edit_ratio",
-        F.when(sha_eq, F.lit(100)).otherwise(
-            edit_udf(
-                F.when(kernel_gate, F.col("a_content")),
-                F.when(kernel_gate, F.col("b_content")),
-            )
+    band = attach_pair_sides(
+        scored.where(F.col("kernel_band")).select(
+            "a_id", "b_id", "stage", "jaccard"
         ),
-    ).withColumn(
-        "verified_by",
-        F.when(sha_eq, F.lit("sha"))
-        .when(F.col("jaccard") >= jaccard_min, F.lit("jaccard"))
-        .otherwise(F.lit("edit_ratio")),
+        corpus,
+        ["content"],
     )
-
-    verified = scored.where(
-        sha_eq
-        | (F.col("jaccard") >= jaccard_min)
-        | (F.col("edit_ratio") >= min_r2)
+    kernel_kept = (
+        band.withColumn("edit_ratio", edit_udf("a_content", "b_content"))
+        .where(F.col("edit_ratio") >= min_r2)
+        .select(
+            "a_id", "b_id", "stage", "jaccard", "edit_ratio",
+            F.lit("edit_ratio").alias("verified_by"),
+        )
     )
-    # null out the masked kernel output for jaccard-verified rows
-    verified = verified.withColumn(
-        "edit_ratio",
-        F.when(F.col("verified_by") == "jaccard", F.lit(None).cast("int"))
-        .otherwise(F.col("edit_ratio")),
-    )
-    return verified.select(
-        "a_id", "b_id", "stage", "jaccard", "edit_ratio", "verified_by"
-    )
+    return decided.unionByName(kernel_kept)

@@ -1,10 +1,11 @@
 """The resumable dedup pipeline DAG (SURVEY.md §3.1 Spark lifecycle).
 
-Stage graph (each ``->`` a committed, resumable checkpoint):
+Stage graph (each ``->`` a committed, resumable checkpoint; the exact
+collapse is a slim recomputed view over ``normalized``, not a commit):
 
     files (Iceberg/parquet)
       -> normalized      file_id = xxhash64(repo,path,commit), sha256 invariant
-      -> exact collapse  group identical sha256 -> one representative
+      ·· exact collapse  group identical sha256 -> one representative
                          (kills quadratic LSH buckets from boilerplate BEFORE
                          they exist; the removed members rejoin via star edges)
       -> signatures      shingles (JVM) + MinHash-128 / SimHash-64 (pandas UDFs)
@@ -65,8 +66,9 @@ def recommended_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # local mode: driver == executor; size the heap for 32 concurrent
-        # tasks over wide rows (content + shingle arrays)
-        .config("spark.driver.memory", "16g")
+        # tasks over wide rows (content + shingle arrays) — GC pressure on
+        # the pair-verify join is what breaks wall-clock scaling first
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
 
@@ -131,19 +133,19 @@ class DedupPipeline:
 
         # ---- exact collapse (sha256 groups -> representatives) -------------
         # narrow shuffle: only (sha, file_id) ever crosses the exchange;
-        # content stays in place until the signature join. The checkpoint is
-        # a slim (file_id, rep_id) table, not a second copy of the corpus.
-        def build_reps():
-            rep_map = (
-                norm.select("content_sha256", "file_id")
-                .groupBy("content_sha256")
-                .agg(F.min("file_id").alias("rep_id"))
-            )
-            return norm.select("content_sha256", "file_id").join(
-                rep_map, "content_sha256"
-            ).select("file_id", "rep_id")
-
-        with_rep = self._stage("rep_assignment", build_reps)
+        # content stays in place until the signature join. NOT a separate
+        # checkpoint: it is a cheap slim aggregate over the committed
+        # `normalized` table, recomputed on resume — one fewer commit/read
+        # round-trip per run (the per-run orchestration constant is what
+        # bounds scaling efficiency at small corpus sizes).
+        rep_map = (
+            norm.select("content_sha256", "file_id")
+            .groupBy("content_sha256")
+            .agg(F.min("file_id").alias("rep_id"))
+        )
+        with_rep = norm.select("content_sha256", "file_id").join(
+            rep_map, "content_sha256"
+        ).select("file_id", "rep_id")
         reps = norm.join(
             with_rep.where(F.col("file_id") == F.col("rep_id")).select("file_id"),
             "file_id",
@@ -171,8 +173,8 @@ class DedupPipeline:
 
         signatures = self._stage("signatures", build_signatures)
 
-        # ---- candidates (three sources, each its own resumable checkpoint)
-        def build_sim_candidates():
+        # ---- candidates (three sources, ONE resumable checkpoint) ----------
+        def build_candidates():
             mh = minhash_candidates(
                 signatures, cfg.bands, cfg.rows, cfg.bucket_cap, dedup=False
             )
@@ -181,30 +183,27 @@ class DedupPipeline:
             )
             # one row per (pair, source-stage); set-similarity pairs deduped
             # with minhash taking precedence (M4: union of match sources)
-            return (
+            sim = (
                 mh.unionByName(sh)
                 .groupBy("a_id", "b_id")
                 .agg(F.min("stage").alias("stage"))
             )
-
-        def build_sub_candidates():
             # NOTE: substring candidates are NOT anti-joined against the
             # set-similarity candidates — a pair can band-collide in MinHash
             # (likely even at Jaccard ~0.25), fail Jaccard/edit verification
             # there, and still be a true verbatim-containment duplicate that
             # only the containment verifier can accept. Both rows survive;
             # the verified union keeps the best record per pair.
-            return substring_candidates(
+            sub = substring_candidates(
                 signatures,
                 k=cfg.substring_k,
                 w=cfg.substring_w,
                 bucket_cap=cfg.bucket_cap,
                 min_bytes=cfg.substring_min_len,
             )
+            return sim.unionByName(sub)
 
-        sim_candidates = self._stage("sim_candidate_pairs", build_sim_candidates)
-        sub_candidates = self._stage("sub_candidate_pairs", build_sub_candidates)
-        candidates = sim_candidates.unionByName(sub_candidates)
+        candidates = self._stage("candidate_pairs", build_candidates)
 
         # ---- verification ---------------------------------------------------
         def build_verified():

@@ -86,9 +86,10 @@ def test_resume_is_identical_and_skips_work(pipeline_run, spark, tiny_files):
         for r in components2.select("file_id", "component_id").collect()
     )
     assert first == second
-    # every stage must have been resumed, not recomputed
+    # every checkpointed stage must have been resumed, not recomputed
+    # (normalized, signatures, candidate_pairs, verified_pairs, components)
     resumed = [k for k in pipe2.metrics if k.endswith("_resumed")]
-    assert len(resumed) >= 6, pipe2.metrics
+    assert len(resumed) >= 5, pipe2.metrics
 
 
 def test_config_change_invalidates_checkpoints(spark, tiny_files, tmp_path_factory):
