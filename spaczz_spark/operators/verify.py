@@ -53,7 +53,12 @@ def make_edit_ratio_udf(min_r: int = 0):
             out.append(round(r))
         return pd.Series(out, dtype="int32")
 
-    return edit_ratio
+    # The kernel IS deterministic; the marker only removes the optimizer's
+    # freedom to duplicate the expression — without it, a filter + a
+    # projection both referencing the column each get their own
+    # ArrowEvalPython and the O(len²/64) kernel runs TWICE per pair
+    # (observed in the plan audit).
+    return edit_ratio.asNondeterministic()
 
 
 def attach_pair_sides(
