@@ -36,6 +36,8 @@ __all__ = [
     "cosine_neardup_pairs",
     "lsh_cosine_pairs",
     "lsh_cosine_topk",
+    "train_ivf_centroids",
+    "ivf_cosine_topk",
 ]
 
 
@@ -321,4 +323,132 @@ def lsh_cosine_pairs(
         .withColumn("cosine", F.round(dot("a_vec", "b_vec"), 6))
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
+    )
+
+
+def train_ivf_centroids(
+    docs: DataFrame,
+    n_cells: int = 64,
+    *,
+    sample_size: int = 20_000,
+    n_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train spherical-kmeans IVF centroids on a bounded sample.
+
+    The standard IVF recipe: the coarse quantizer is trained driver-side on
+    a BOUNDED sample (collect is capped at ``sample_size`` rows regardless
+    of corpus size — this is the one legitimate driver-side step in the
+    index build), then broadcast for distributed assignment. Deterministic
+    given (seed, input order). Returns an L2-normalized
+    (n_cells, dim) float64 matrix.
+    """
+    sample = [
+        np.asarray(r["nvec"], dtype=np.float64)
+        for r in _normalized(docs, id_col, vec_col).limit(sample_size).collect()
+    ]
+    mat = np.stack(sample)
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(mat))
+    centroids = mat[rng.choice(len(mat), size=n_cells, replace=False)]
+    for _ in range(n_iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = centroids / norms
+    return centroids
+
+
+def _make_cell_udf(centroids: np.ndarray, n_probe: int = 1):
+    """pandas UDF: normalized vector -> its top-``n_probe`` centroid ids."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) if v is not None else
+             np.zeros(centroids.shape[1]) for v in vecs]
+        )
+        sims = mat @ centroids.T
+        if n_probe == 1:
+            best = sims.argmax(axis=1).astype(np.int32)
+            return pd.Series([[int(b)] for b in best])
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    *,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 4,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF (inverted-file) index.
+
+    The second scale path next to :func:`lsh_cosine_topk` (task brief: "an
+    IVF or LSH-bucketed variant"): corpus vectors are assigned to their
+    nearest coarse centroid (one cell each — the inverted lists), queries
+    probe their ``n_probe`` nearest cells, and only vectors in probed cells
+    are exactly scored. Recall is controlled by (n_cells, n_probe):
+    expected candidate fraction ≈ n_probe/n_cells of the corpus per query.
+
+    Plan shape: one broadcast-sized centroid matrix inside two pandas UDFs,
+    one equi-join on the cell id (the inverted-list lookup — shuffles only
+    probed cells), exact cosine in codegen, one window for the top-k.
+    """
+    query_id_col = query_id_col or id_col
+    q_src = corpus if queries is None else queries
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, sample_size=sample_size, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    c = _normalized(corpus, id_col, vec_col)
+    q = _normalized(q_src, query_id_col, vec_col).withColumnsRenamed(
+        {"vec_id": "query_id", "nvec": "qvec"}
+    )
+    assign_udf = _make_cell_udf(centroids, 1)
+    probe_udf = _make_cell_udf(centroids, n_probe)
+    c_cells = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.get(assign_udf("nvec"), 0).alias("cell"),
+    )
+    q_cells = q.select("query_id", F.explode(probe_udf("qvec")).alias("cell"))
+    cand = (
+        q_cells.join(c_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(q.select("query_id", "qvec"), "query_id")
+        .join(c.withColumnsRenamed({"vec_id": "neighbor_id"}), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot("nvec", "qvec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

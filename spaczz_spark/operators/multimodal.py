@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -42,6 +43,8 @@ __all__ = [
     "with_media_metadata",
     "parse_image_dims",
     "decode_images",
+    "extract_features",
+    "resize_images",
     "frame_sample",
 ]
 
@@ -158,6 +161,117 @@ def decode_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
             )
 
     return df.select("media_id", "data").mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("aspect_ratio", DoubleType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("bytes_per_pixel", DoubleType(), True),
+        StructField("byte_entropy", DoubleType(), True),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Container-level feature extraction over media blobs — no pixel
+    decode needed, so it is REAL in this environment and the right first
+    pass at 100 TB (header dims + compression statistics screen most
+    corrupt/outlier media before any expensive codec work).
+
+    Features per blob: header (format, width, height), aspect ratio,
+    byte count, bytes-per-pixel (compression density), and the Shannon
+    entropy of the byte distribution (numpy bincount per Arrow batch —
+    near-8.0 for well-compressed media; low values flag padding/garbage).
+    """
+    import numpy as np
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in FEATURES_SCHEMA.fields}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                blob = bytes(data or b"")
+                fmt, w, h = parse_image_dims(blob)
+                n = len(blob)
+                if n:
+                    counts = np.bincount(
+                        np.frombuffer(blob, dtype=np.uint8), minlength=256
+                    )
+                    p = counts[counts > 0] / n
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = None
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["aspect_ratio"].append(
+                    round(w / h, 6) if w and h else None
+                )
+                rows["n_bytes"].append(n)
+                rows["bytes_per_pixel"].append(
+                    round(n / (w * h), 6) if w and h else None
+                )
+                rows["byte_entropy"].append(
+                    round(entropy, 6) if entropy is not None else None
+                )
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            yield out
+
+    return df.select("media_id", "data").mapInPandas(_features, FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, *, max_side: int = 256, fake: bool = False
+) -> DataFrame:
+    """Resize blobs to fit ``max_side`` — STUB: pixel resampling needs a
+    codec library this environment lacks. The Spark-side contract (schema,
+    batch iterator, target-dimension arithmetic) is real and tested;
+    ``fake=True`` passes the original bytes through with the correctly
+    computed target dimensions, a real backend would plug PIL/libvips into
+    the marked line."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("target_width", IntegerType(), True),
+            StructField("target_height", IntegerType(), True),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "pixel resampling requires PIL/libvips; use fake=True here"
+                )
+            rows = {"media_id": [], "target_width": [], "target_height": [],
+                    "data": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                blob = bytes(data or b"")
+                _, w, h = parse_image_dims(blob)
+                if w and h and max(w, h) > max_side:
+                    scale = max_side / max(w, h)
+                    tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                else:
+                    tw, th = w, h
+                rows["media_id"].append(mid)
+                rows["target_width"].append(tw)
+                rows["target_height"].append(th)
+                rows["data"].append(blob)  # real backend: resampled bytes
+            out = pd.DataFrame(rows)
+            out["target_width"] = out["target_width"].astype("Int32")
+            out["target_height"] = out["target_height"].astype("Int32")
+            yield out
+
+    return df.select("media_id", "data").mapInPandas(_resize, schema)
 
 
 def frame_sample(

@@ -452,6 +452,16 @@ def q_doc_ruler(spark, sf_dir):
     )
 
 
+def q_emb_ivf_ann(spark, sf_dir):
+    # rows-only check: IVF recall is probabilistic by design (coarse
+    # quantizer + n_probe cells); pytest gates recall >= 0.9 vs exact.
+    from .operators.ann import ivf_cosine_topk
+
+    return ivf_cosine_topk(
+        _emb(spark, sf_dir), k=5, n_cells=16, n_probe=8, seed=42
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Pure-header image decode (PNG/GIF/BMP/JPEG) over binary media blobs.
 
@@ -465,6 +475,22 @@ def q_media_decode(spark, sf_dir):
     )
     return decode_images(media).select(
         "media_id", "format", "width", "height", "n_bytes"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Container-level media features (no pixel decode); the DuckDB oracle
+    recomputes aspect ratio / bytes-per-pixel from the fixture's stored
+    truth metadata (byte entropy is pytest-gated — not SQL-expressible
+    over blobs)."""
+    from .operators.multimodal import extract_features
+
+    media = spark.read.parquet(
+        os.path.join(FIXTURE_ROOT, "media_small", "media.parquet")
+    )
+    return extract_features(media).select(
+        "media_id", "format", "width", "height", "aspect_ratio",
+        "n_bytes", "bytes_per_pixel",
     )
 
 
@@ -510,7 +536,9 @@ QUERIES = {
     "emb_topk": q_emb_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
     "emb_topk_ann": q_emb_topk_ann,
+    "emb_ivf_ann": q_emb_ivf_ann,
     "media_decode": q_media_decode,
+    "media_features": q_media_features,
 }
 
 
@@ -745,7 +773,16 @@ SELECT media_id, true_format AS format, true_width AS width,
        true_height AS height, octet_length(data) AS n_bytes
 FROM read_parquet('{FIXTURE_ROOT}/media_small/media.parquet')
 """,
-    # files_pipeline, emb_topk_ann: intentionally no oracle —
-    # non-SQL-expressible (InDel kernel / probabilistic top-k LSH recall);
+    "media_features": f"""
+SELECT media_id, true_format AS format, true_width AS width,
+       true_height AS height,
+       round(true_width * 1.0 / true_height, 6) AS aspect_ratio,
+       octet_length(data) AS n_bytes,
+       round(octet_length(data) * 1.0 / (true_width * true_height), 6)
+         AS bytes_per_pixel
+FROM read_parquet('{FIXTURE_ROOT}/media_small/media.parquet')
+""",
+    # files_pipeline, emb_topk_ann, emb_ivf_ann: intentionally no oracle —
+    # non-SQL-expressible (InDel kernel / probabilistic top-k ANN recall);
     # covered by pytest recall gates instead.
 }

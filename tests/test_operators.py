@@ -359,3 +359,82 @@ def test_containment_pairs_winnowed_recall(spark):
         assert n_winnowed <= max(3.5 * n_positions / 32 + 4, 6), (
             n_winnowed, n_positions
         )
+
+
+def test_ivf_cosine_topk_recall(spark):
+    """IVF top-k: recall >= 0.9 of the exact top-k with generous probing,
+    exact cosines on everything emitted, deterministic given the seed."""
+    import numpy as np
+
+    from spaczz_spark.operators.ann import ivf_cosine_topk, train_ivf_centroids
+
+    rng = np.random.RandomState(17)
+    mat = rng.standard_normal((150, 16))
+    for i in range(0, 150, 3):
+        mat[i + 1] = mat[i] + rng.standard_normal(16) * 0.15
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+        ["vec_id", "embedding"],
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(df, df, k=3).collect()
+    }
+    cents = train_ivf_centroids(df, n_cells=12, seed=5)
+    assert cents.shape == (12, 16)
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ivf_cosine_topk(
+            df, k=3, n_cells=12, n_probe=6, seed=5, centroids=cents
+        ).collect()
+    }
+    hit = sum(1 for key in exact if key in approx)
+    assert hit / len(exact) >= 0.9, hit / len(exact)
+    for key, v in approx.items():
+        if key in exact:
+            assert v == exact[key]
+
+
+def test_media_feature_extraction(spark):
+    """extract_features: header dims + compression stats, NULLs for
+    corrupt blobs; entropy goldens (constant bytes -> 0, varied -> high).
+    resize_images computes fit-to-max-side targets (fake passthrough)."""
+    import os
+
+    from spaczz_spark.operators.multimodal import extract_features, resize_images
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "media_small", "media.parquet",
+    )
+    media = spark.read.parquet(path)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    truth = {r["media_id"]: r for r in media.collect()}
+    for mid, t in truth.items():
+        f = feats[mid]
+        assert f["format"] == t["true_format"]
+        if t["true_width"]:
+            assert f["aspect_ratio"] == round(t["true_width"] / t["true_height"], 6)
+            assert f["bytes_per_pixel"] is not None
+        else:
+            assert f["aspect_ratio"] is None
+
+    flat = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x00" * 4096), "x"),
+         (2, "image", bytearray(bytes(range(256)) * 16), "x")],
+        ["media_id", "kind", "data", "mime"],
+    )
+    ent = {r["media_id"]: r["byte_entropy"] for r in extract_features(flat).collect()}
+    assert ent[1] == 0.0          # constant bytes: zero entropy
+    assert ent[2] == 8.0          # uniform byte distribution: 8 bits
+
+    rz = {r["media_id"]: r for r in resize_images(media, max_side=100, fake=True).collect()}
+    for mid, t in truth.items():
+        r = rz[mid]
+        if t["true_width"]:
+            assert max(r["target_width"], r["target_height"]) <= 100 or (
+                max(t["true_width"], t["true_height"]) <= 100
+                and r["target_width"] == t["true_width"]
+            )
+        else:
+            assert r["target_width"] is None
