@@ -64,3 +64,53 @@ def test_lcs_never_exceeds_either_length(a, b):
     assert 0 <= lcs <= min(len(a), len(b))
     # concatenation monotonicity
     assert ratios.lcs_length(a + "a", b + "a") >= lcs + (1 if True else 0) - 1
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_levenshtein_ratio_properties(s1, s2):
+    """Engine-extension lev ratio: symmetric, bounded, 100 iff equal, and
+    consistent with the exact integer formula."""
+    from spaczz_spark.ratios import levenshtein_distance, levenshtein_ratio
+
+    r = levenshtein_ratio(s1, s2)
+    assert r == levenshtein_ratio(s2, s1)
+    assert 0 <= r <= 100
+    if s1 == s2:
+        assert r == 100
+    m = max(len(s1), len(s2))
+    if m:
+        d = levenshtein_distance(s1, s2)
+        assert r == (200 * (m - d) + m) // (2 * m)
+        assert d <= m
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=400, deadline=None)
+def test_parse_image_dims_never_crashes(blob):
+    """Header parser total-function property: any byte string returns a
+    well-typed triple, never raises, never loops."""
+    from spaczz_spark.operators.multimodal import parse_image_dims
+
+    fmt, w, h = parse_image_dims(blob)
+    assert fmt in (None, "png", "gif", "bmp", "jpeg")
+    if fmt is None:
+        assert w is None and h is None
+    else:
+        assert isinstance(w, int) and isinstance(h, int) and w >= 0 and h >= 0
+
+
+@given(
+    st.lists(st.sampled_from("ab "), min_size=0, max_size=30).map("".join),
+    st.lists(st.sampled_from("ab "), min_size=1, max_size=10).map("".join),
+)
+@settings(max_examples=200, deadline=None)
+def test_similarity_compare_bounds(doc_text, query):
+    """Pooled-cosine compare stays in [-100, 100] and is 0 whenever either
+    side pools to a zero/absent vector."""
+    from spaczz_spark.similaritysearch import similarity_compare
+
+    lexicon = {"a": [1.0, 0.0], "b": [0.6, 0.8]}
+    r = similarity_compare(doc_text, query, lexicon)
+    assert -100 <= r <= 100
+    assert similarity_compare(doc_text, query, {}) == 0
