@@ -113,6 +113,7 @@ def main() -> None:
         "emb_neardup",
         "emb_topk",
         "emb_topk_ann",
+        "emb_ivf_ann",
         "doc_ruler",
         "media_decode",
         "files_neardup_pairs",
