@@ -73,6 +73,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -80,12 +81,18 @@ def cosine_topk(
     nested-loop with codegen'd dot products, no shuffle of the corpus — then
     one shuffle for the per-query top-k window. Ties broken by neighbor id
     for determinism. Output: (query_id, neighbor_id, cosine, rank).
+    Pass ``exclude_self=False`` when the query table's ids live in a
+    different namespace than the corpus ids (an id collision is then an
+    unrelated vector, not a self-match).
     """
     c = _normalized(corpus, id_col, vec_col)
     q = _normalized(queries, query_id_col, vec_col).withColumnsRenamed(
         {"vec_id": "query_id", "nvec": "qvec"}
     )
-    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+    join_cond = (
+        F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
+    scored = c.join(F.broadcast(q), join_cond).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(dot("nvec", "qvec"), 6).alias("cosine"),
@@ -217,6 +224,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multiprobe hyperplane LSH.
 
@@ -237,8 +245,13 @@ def lsh_cosine_topk(
     corpus is never crossed with itself.
 
     Output: (query_id, neighbor_id, cosine, rank) — possibly fewer than k
-    rows per query when recall misses; self-matches are excluded.
+    rows per query when recall misses. ``exclude_self`` (default: only when
+    the corpus queries itself) drops query_id == neighbor_id rows; with a
+    separate query table the ids live in different namespaces, so an
+    accidental id collision must NOT suppress a real neighbor.
     """
+    if exclude_self is None:
+        exclude_self = queries is None
     if queries is None:
         queries = corpus
         query_id_col = query_id_col or id_col
@@ -261,12 +274,10 @@ def lsh_cosine_topk(
     q_buckets = q.select(
         "query_id", F.explode(probe("qvec")).alias("bucket_key")
     )
-    cand = (
-        q_buckets.join(c_buckets, "bucket_key")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    cand = q_buckets.join(c_buckets, "bucket_key")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.select("query_id", "neighbor_id").distinct()
     scored = (
         cand.join(q.select("query_id", "qvec"), "query_id")
         .join(c.withColumnsRenamed({"vec_id": "neighbor_id", "nvec": "nvec"}),
@@ -296,6 +307,7 @@ def lsh_cosine_pairs(
     n_tables: int = 8,
     seed: int = 42,
     bucket_cap: int = 1024,
+    star_cap: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -304,6 +316,13 @@ def lsh_cosine_pairs(
     Recall at cosine s: 1 - (1 - p^n_bits)^n_tables with
     p = 1 - arccos(s)/π; at s=0.95 and (16 bits, 8 tables) ≈ 0.97.
     Every emitted pair is exactly verified, so precision is exact.
+
+    ``star_cap`` passes through to :func:`pairs_from_buckets`: buckets
+    larger than it degrade to linear star expansion (losing non-star
+    pairs). Callers relying on the recall-by-config equality argument
+    (e.g. the ``emb_lsh_ann`` oracle) must raise BOTH caps above the
+    corpus size, otherwise the probabilistic recall bound silently stops
+    holding for mega-buckets.
     """
     if dim is None:
         first = docs.select(F.size(vec_col).alias("d")).first()
@@ -314,7 +333,7 @@ def lsh_cosine_pairs(
         F.col("vec_id").alias("file_id"),
         F.explode(sketch("nvec")).alias("bucket_key"),
     )
-    cand = pairs_from_buckets(buckets, bucket_cap)
+    cand = pairs_from_buckets(buckets, bucket_cap, star_cap=star_cap)
     a = n.withColumnsRenamed({"vec_id": "a_id", "nvec": "a_vec"})
     b = n.withColumnsRenamed({"vec_id": "b_id", "nvec": "b_vec"})
     return (
@@ -341,13 +360,26 @@ def train_ivf_centroids(
     The standard IVF recipe: the coarse quantizer is trained driver-side on
     a BOUNDED sample (collect is capped at ``sample_size`` rows regardless
     of corpus size — this is the one legitimate driver-side step in the
-    index build), then broadcast for distributed assignment. Deterministic
-    given (seed, input order). Returns an L2-normalized
-    (n_cells, dim) float64 matrix.
+    index build), then broadcast for distributed assignment. The sample is
+    a seeded RANDOM sample, not first-N: on a corpus sorted/clustered by
+    source or language, ``limit`` alone would train every centroid on one
+    region of the space and recall would collapse elsewhere. The sample is
+    drawn by ordering on a seeded hash of the id and taking the top
+    ``sample_size`` — an exactly-uniform deterministic permutation prefix
+    that Spark executes as per-partition top-N + driver merge (no full
+    sort, no extra count job; ``df.sample(fraction)`` would need a count
+    and its first-N prefix is still partition-order biased). Deterministic
+    given (seed, input data). Returns an L2-normalized (n_cells, dim)
+    float64 matrix.
     """
+    n = _normalized(docs, id_col, vec_col)
     sample = [
         np.asarray(r["nvec"], dtype=np.float64)
-        for r in _normalized(docs, id_col, vec_col).limit(sample_size).collect()
+        for r in (
+            n.orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+            .limit(sample_size)
+            .collect()
+        )
     ]
     mat = np.stack(sample)
     rng = np.random.RandomState(seed)
@@ -398,6 +430,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF (inverted-file) index.
 
@@ -411,7 +444,12 @@ def ivf_cosine_topk(
     Plan shape: one broadcast-sized centroid matrix inside two pandas UDFs,
     one equi-join on the cell id (the inverted-list lookup — shuffles only
     probed cells), exact cosine in codegen, one window for the top-k.
+
+    ``exclude_self`` follows :func:`lsh_cosine_topk`: self-matches are
+    dropped only in corpus-queries-itself mode (or when explicitly asked).
     """
+    if exclude_self is None:
+        exclude_self = queries is None
     query_id_col = query_id_col or id_col
     q_src = corpus if queries is None else queries
     if centroids is None:
@@ -430,11 +468,10 @@ def ivf_cosine_topk(
         F.get(assign_udf("nvec"), 0).alias("cell"),
     )
     q_cells = q.select("query_id", F.explode(probe_udf("qvec")).alias("cell"))
-    cand = (
-        q_cells.join(c_cells, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
+    cand = q_cells.join(c_cells, "cell")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.select("query_id", "neighbor_id")
     scored = (
         cand.join(q.select("query_id", "qvec"), "query_id")
         .join(c.withColumnsRenamed({"vec_id": "neighbor_id"}), "neighbor_id")

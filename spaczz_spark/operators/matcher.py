@@ -78,10 +78,15 @@ MATCH_SCHEMA = ArrayType(
 
 
 # Fuzzy ratio functions for which the character-multiset screen below is a
-# PROVEN upper bound (the pattern string enters the comparison verbatim, so
-# ratio <= 200 * |multiset ∩| / len(pattern); token_set/token/weighted can
-# shorten the pattern side by deduping tokens and are excluded).
-_SCREENABLE_FUNCS = {"simple", "partial", "quick", "levenshtein"}
+# PROVEN upper bound (the pattern string enters the comparison verbatim and
+# the denominator includes len(pattern), so ratio <= 200 * |multiset ∩| /
+# len(pattern)). Excluded: token_set/token/weighted (dedup can shorten the
+# pattern side) and partial (it compares the SHORTER side against slices of
+# the longer — when a window is shorter than the pattern the denominator is
+# 2*len(window), not len(pattern)+len(window), and the bound is invalid;
+# e.g. pattern "acetaminophen" vs doc "ace" scores partial 100 while the
+# doc-level bound would prune it).
+_SCREENABLE_FUNCS = {"simple", "quick", "levenshtein"}
 
 
 @lru_cache(maxsize=4096)

@@ -28,6 +28,8 @@ Scale notes (10^12-file design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -65,10 +67,16 @@ def recommended_session(
         .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        # local mode: driver == executor; size the heap for 32 concurrent
-        # tasks over wide rows (content + shingle arrays) — GC pressure on
-        # the pair-verify join is what breaks wall-clock scaling first
-        .config("spark.driver.memory", "24g")
+        # local mode: driver == executor. 16g is right for sf<=0.1 workloads;
+        # a bigger heap (24g) only pays off on the 280k-file scaling corpus,
+        # where GC pressure on the pair-verify join breaks wall-clock scaling
+        # — and it measurably REGRESSES small/JVM-heavy queries 2-4x. So the
+        # default stays 16g and the scaling harness (scripts/run_scaling.sh)
+        # opts into 24g via SPARK_GRAFT_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
 

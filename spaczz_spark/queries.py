@@ -411,10 +411,15 @@ def q_emb_lsh_ann(spark, sf_dir):
     recall-by-config argument the MinHash queries make. This wide config is
     the oracle fixture; production tuning keeps the (n_bits, n_tables,
     threshold) knob (see tests for the recall-vs-cost curve).
+
+    The equality argument additionally needs every bucket below BOTH caps
+    (a bucket past ``star_cap`` degrades to linear star expansion and
+    loses pairs), so the oracle config pins both far above any fixture
+    corpus size.
     """
     return lsh_cosine_pairs(
         _emb(spark, sf_dir), threshold=0.3, n_bits=3, n_tables=96,
-        bucket_cap=4096,
+        bucket_cap=1 << 22, star_cap=1 << 22,
     )
 
 

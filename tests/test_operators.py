@@ -438,3 +438,79 @@ def test_media_feature_extraction(spark):
             )
         else:
             assert r["target_width"] is None
+
+
+def test_ivf_training_sample_is_random_not_prefix(spark):
+    """Round-3 advice: the IVF training sample must be a seeded RANDOM
+    sample. On a corpus SORTED by cluster (all of region A before region
+    B) a first-N `.limit` sample trains every centroid on region A and
+    recall collapses on B — the random sample must place centroids in
+    both regions and keep recall >= 0.9 overall."""
+    import numpy as np
+
+    from spaczz_spark.operators.ann import (
+        ivf_cosine_topk,
+        l2_normalize,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(23)
+    center_a = rng.standard_normal(16)
+    center_b = rng.standard_normal(16)
+    rows = []
+    # 300 region-A vectors first (ids 0..299), then 100 region-B
+    for i in range(300):
+        rows.append((i, [float(x) for x in center_a + rng.standard_normal(16) * 0.2]))
+    for i in range(300, 400):
+        rows.append((i, [float(x) for x in center_b + rng.standard_normal(16) * 0.2]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(4)
+
+    # sample_size << region-A size: a prefix sample would be 100% region A
+    cents = train_ivf_centroids(df, n_cells=8, sample_size=100, seed=9)
+    nb = center_b / np.linalg.norm(center_b)
+    assert (cents @ nb).max() > 0.8, "no centroid near region B: sample was a prefix"
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            df, k=3, n_cells=8, n_probe=3, sample_size=100, seed=9,
+            centroids=cents,
+        ).collect()
+    }
+    hit = len(exact & approx)
+    assert hit / len(exact) >= 0.9, hit / len(exact)
+
+
+def test_ann_id_collision_not_excluded_with_separate_queries(spark):
+    """Round-3 advice: with a SEPARATE query table, ids live in different
+    namespaces — a corpus row whose id collides with a query id must still
+    be returned as a neighbor (self-exclusion only applies in
+    corpus-queries-itself mode)."""
+    from spaczz_spark.operators.ann import ivf_cosine_topk, lsh_cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 * (i == j) for j in range(4)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    # query id 0 collides with corpus id 0, and e0 IS its nearest neighbor
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = lsh_cosine_topk(
+        corpus, queries, k=2, n_bits=2, n_tables=8, n_probes=2
+    ).collect()
+    assert any(r["neighbor_id"] == 0 for r in out), out
+    out_ivf = ivf_cosine_topk(
+        corpus, queries, k=2, n_cells=2, n_probe=2, seed=3
+    ).collect()
+    assert any(r["neighbor_id"] == 0 for r in out_ivf), out_ivf
+    # exact path: exclude_self=False keeps the colliding neighbor too
+    out_exact = cosine_topk(corpus, queries, k=2, exclude_self=False).collect()
+    assert any(r["neighbor_id"] == 0 for r in out_exact), out_exact
+    # corpus-queries-itself mode still drops true self-matches
+    self_out = lsh_cosine_topk(corpus, k=2, n_bits=2, n_tables=8).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in self_out)

@@ -151,11 +151,16 @@ def test_matcher_prefilter_is_lossless():
     docs = [
         " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
         for _ in range(60)
-    ] + ["", "zzz qqq", "grant andersen"]
+    ] + ["", "zzz qqq", "grant andersen", "ace", "pen", "ace pen"]
     pattern_specs = [
         ("grant andersen", {"min_r": 75}),
         ("query big table", {"min_r": 60}),
         ("tabel", {"min_r": 75, "fuzzy_func": "partial"}),
+        # partial_ratio compares the SHORTER side against slices of the
+        # longer: on doc "ace" this pattern scores 100 even though the
+        # doc-level multiset bound 200*I/len(pattern) = 46 < 75 — the
+        # screen must NOT apply to partial (round-2 advice regression).
+        ("acetaminophen", {"min_r": 75, "fuzzy_func": "partial"}),
         ("anderson", {"min_r": 90, "min_r1": 30}),
         ("zzz", {"min_r": 75, "fuzzy_func": "levenshtein", "flex": 0}),
     ]
