@@ -102,7 +102,12 @@ def main() -> None:
     else:
         n_files, files_per_sec = 0, 0.0
 
-    # representative operator queries over driver testdata
+    # representative operator queries over driver testdata — PRODUCTION
+    # paths only. The deliberately-O(n^2) oracle fixtures (emb_topk,
+    # emb_neardup — DuckDB-mirrorable ground truth, never the scale path)
+    # are excluded from the headline so the bench measures the engine, not
+    # the correctness fixtures; opt back in with
+    # SPARK_GRAFT_ORACLE_FIXTURES=1.
     bench_queries = [
         "doc_minhash_neardup",
         "doc_ngram_jaccard",
@@ -110,8 +115,6 @@ def main() -> None:
         "events_windowed",
         "events_sessions",
         "tpch_q1",
-        "emb_neardup",
-        "emb_topk",
         "emb_topk_ann",
         "emb_ivf_ann",
         "doc_ruler",
@@ -120,6 +123,8 @@ def main() -> None:
         "files_substring_pairs",
         "files_components",
     ]
+    if os.environ.get("SPARK_GRAFT_ORACLE_FIXTURES") == "1":
+        bench_queries += ["emb_neardup", "emb_topk"]
     for name in ([] if skip_headline else bench_queries):
         fn = Q.QUERIES[name]
         t0 = time.time()

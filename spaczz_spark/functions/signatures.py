@@ -143,6 +143,111 @@ def with_shingles(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def make_shingle_fp_udf(
+    k: int = 3, fp_k: int = 32, fp_w: int = 32, fp_min_bytes: int = 100
+):
+    """Fused pandas UDF: content -> (shingles, fingerprints) in ONE pass.
+
+    The token-shingle set (MinHash/SimHash input) and the winnowed k-gram
+    fingerprint set (substring-candidate input) were previously two
+    separate Arrow passes over the same content column — two full
+    serializations of the corpus text into Python. Fusing them halves the
+    Arrow transfer and lets the candidate stage run pure-JVM (explode +
+    bucket joins only), which is what its wall-clock scaling needs.
+
+    Rows shorter than ``fp_min_bytes`` get an empty fingerprint array —
+    identical semantics to the downstream ``n_bytes >= min_bytes`` filter
+    (tiny files share boilerplate k-grams and are covered by MinHash).
+    """
+    import hashlib
+    import re as _re
+
+    from ..operators.substring import winnow_fingerprints
+
+    token_re = _re.compile(TOKEN_PATTERN)
+    A = np.uint64(0x9E3779B97F4A7C15)
+    from pyspark.sql.types import StructField, StructType
+
+    out_type = StructType(
+        [
+            StructField("shingles", ArrayType(LongType())),
+            StructField("fingerprints", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def shingle_fp(content: pd.Series) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+                cache[t] = v
+            return v
+
+        empty = np.array([], dtype=np.int64)
+        sh_out, fp_out = [], []
+        for text in content:
+            if not text:
+                sh_out.append(empty)
+                fp_out.append(empty)
+                continue
+            toks = token_re.findall(text.lower())
+            n = len(toks)
+            if n == 0:
+                sh_out.append(empty)
+            else:
+                h = np.fromiter(
+                    (tok_hash(t) for t in toks), dtype=np.uint64, count=n
+                )
+                if n < k:
+                    acc = h[:1].copy()
+                    for j in range(1, n):
+                        acc = acc * A + h[j : j + 1]
+                else:
+                    m = n - k + 1
+                    acc = h[:m].copy()
+                    for j in range(1, k):
+                        acc = acc * A + h[j : j + m]
+                sh_out.append(np.unique(acc).astype(np.int64))
+            if len(text.encode("utf-8", errors="ignore")) >= fp_min_bytes:
+                fp_out.append(winnow_fingerprints(text, fp_k, fp_w))
+            else:
+                fp_out.append(empty)
+        return pd.DataFrame({"shingles": sh_out, "fingerprints": fp_out})
+
+    # asNondeterministic stops CollapseProject from inlining the struct into
+    # its three field references and re-running the UDF per field (the same
+    # Catalyst double-eval the InDel kernel hit in operators/verify.py)
+    return shingle_fp.asNondeterministic()
+
+
+def with_shingles_and_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    fp_k: int = 32,
+    fp_w: int = 32,
+    fp_min_bytes: int = 100,
+) -> DataFrame:
+    """Add ``shingles``, ``n_shingles`` and ``fingerprints`` via the fused
+    single-pass UDF (see :func:`make_shingle_fp_udf`)."""
+    udf = make_shingle_fp_udf(k, fp_k, fp_w, fp_min_bytes)
+    return (
+        df.withColumn("_sig", udf("content"))
+        .withColumns(
+            {
+                "shingles": F.col("_sig.shingles"),
+                "fingerprints": F.col("_sig.fingerprints"),
+                "n_shingles": F.size("_sig.shingles"),
+            }
+        )
+        .drop("_sig")
+    )
+
+
 def minhash_coefficients(num_perm: int = 128, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic multiply-shift permutation coefficients (a odd, b any)."""
     rng = np.random.RandomState(seed)

@@ -172,6 +172,41 @@ def _run_patterns(
     return out
 
 
+def _best_then_greedy(rows: list[tuple]) -> list[tuple]:
+    """M4 + M5 on one document's match tuples
+    (label, start, end, ratio, pattern, type, ent_id), in pure Python.
+
+    1. per (label, start, end): keep the max-ratio entry (ties: type asc,
+       then pattern/ent_id asc — a deterministic refinement of the window
+       form's row_number, which leaves deep ties arbitrary).
+    2. greedy non-overlap ordered by (length desc, start asc, ratio desc),
+       stable over the M1 input order (reference:
+       ``spaczzruler.py:571-581,640-674``).
+
+    This is the fused form of :func:`resolve_matches` used by
+    :func:`ruler` — per doc the match list is tiny, so resolving inside
+    the SAME pandas UDF that produced the matches costs ~nothing and
+    removes an entire shuffle + grouped-pandas stage from the plan.
+    """
+    best: dict[tuple, tuple] = {}
+    for m in rows:
+        key = (m[0], m[1], m[2])
+        cur = best.get(key)
+        if cur is None or (-m[3], m[5], m[4], m[6]) < (-cur[3], cur[5], cur[4], cur[6]):
+            best[key] = m
+    ordered = sorted(
+        best.values(), key=lambda m: (-(m[2] - m[1]), m[1], -m[3])
+    )
+    kept: list[tuple] = []
+    occupied: list[tuple[int, int]] = []
+    for m in ordered:
+        if any(m[1] < e and s < m[2] for s, e in occupied):
+            continue
+        occupied.append((m[1], m[2]))
+        kept.append(m)
+    return kept
+
+
 def match_patterns(
     docs: DataFrame,
     patterns: list[Pattern],
@@ -179,6 +214,7 @@ def match_patterns(
     id_col: str = "doc_id",
     text_col: str = "text",
     lexicon: dict | None = None,
+    resolve: bool = False,
 ) -> DataFrame:
     """All pattern matches over a document table.
 
@@ -188,6 +224,10 @@ def match_patterns(
     ``lexicon`` (token -> vector) is required by ``type="similarity"``
     patterns; it is shipped once per executor via a Spark broadcast, not
     per task.
+
+    ``resolve=True`` additionally applies the ruler's M4/M5 conflict
+    resolution (:func:`_best_then_greedy`) per document INSIDE the same
+    UDF — the whole ruler becomes one narrow stage with no shuffle.
     """
     plist = list(patterns)
     bc_lex = (
@@ -199,6 +239,10 @@ def match_patterns(
     @F.pandas_udf(MATCH_SCHEMA)
     def run(texts: pd.Series) -> pd.Series:
         lex = bc_lex.value if bc_lex is not None else None
+        if resolve:
+            return texts.map(
+                lambda t: _best_then_greedy(_run_patterns(t, plist, lex))
+            )
         return texts.map(lambda t: _run_patterns(t, plist, lex))
 
     return (
@@ -209,29 +253,33 @@ def match_patterns(
     )
 
 
-def resolve_matches(matches: DataFrame) -> DataFrame:
-    """The ruler's conflict resolution (M4 + M5) as window operators.
+def resolve_matches(matches: DataFrame, *, n_buckets: int = 256) -> DataFrame:
+    """The ruler's conflict resolution (M4 + M5) over an arbitrary match
+    table.
 
     1. per (doc, label, start, end): keep the max-ratio entry
     2. greedy non-overlap: order spans by (length desc, start asc, ratio
        desc) and keep each span iff it does not overlap a previously kept
        span (reference: ``spaczzruler.py:571-581,640-674``).
-    Step 2's sequential-greedy semantics are per-document, so it runs in a
-    grouped pandas UDF over doc partitions — each group is one doc's
-    matches (tiny), the stage parallelizes across docs.
-    """
-    w_best = Window.partitionBy("doc_id", "label", "start", "end").orderBy(
-        F.desc("ratio"), F.asc("type")
-    )
-    best = (
-        matches.withColumn("rn", F.row_number().over(w_best))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
 
+    Step 2 is sequential per document, but grouping the grouped-pandas
+    stage by *document* would pay per-group Arrow/pandas overhead once per
+    doc (~ms each — the dominant cost on corpora of small docs, and AQE
+    happily coalesces the tiny shuffle to one partition, serializing it).
+    Instead the stage groups by a hash BUCKET of the doc id (``n_buckets``
+    groups) and loops the per-doc resolution in plain Python inside each
+    bucket — same output, amortized overhead.
+
+    :func:`ruler` skips this operator entirely: it resolves inside the
+    matcher UDF (:func:`_best_then_greedy`) before the explode, so the
+    standalone form only pays off for externally-supplied match tables.
+    """
+    cols = [
+        "doc_id", "label", "start", "end", "ratio", "pattern", "type", "ent_id"
+    ]
     out_schema = StructType(
         [
-            StructField("doc_id", best.schema["doc_id"].dataType),
+            StructField("doc_id", matches.schema["doc_id"].dataType),
             StructField("label", StringType()),
             StructField("start", IntegerType()),
             StructField("end", IntegerType()),
@@ -242,25 +290,25 @@ def resolve_matches(matches: DataFrame) -> DataFrame:
         ]
     )
 
-    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        # reference order: span length desc, then start asc, then ratio desc
-        pdf = pdf.assign(_len=pdf["end"] - pdf["start"]).sort_values(
-            ["_len", "start", "ratio"], ascending=[False, True, False]
-        )
-        kept_rows = []
-        occupied: list[tuple[int, int]] = []
+    def resolve_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        kept_rows: list[tuple] = []
+        by_doc: dict = {}
         for row in pdf.itertuples(index=False):
-            if any(row.start < e and s < row.end for s, e in occupied):
-                continue
-            occupied.append((row.start, row.end))
-            kept_rows.append(row)
-        cols = [f.name for f in out_schema.fields]
-        if not kept_rows:
-            return pd.DataFrame(columns=cols)
-        out = pd.DataFrame(kept_rows)
-        return out[cols]
+            by_doc.setdefault(row.doc_id, []).append(
+                (row.label, row.start, row.end, row.ratio, row.pattern,
+                 row.type, row.ent_id)
+            )
+        for doc_id, rows in by_doc.items():
+            for m in _best_then_greedy(rows):
+                kept_rows.append((doc_id, *m))
+        return pd.DataFrame(kept_rows, columns=cols)
 
-    return best.groupBy("doc_id").applyInPandas(greedy, out_schema)
+    bucketed = matches.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(
+        lambda pdf: resolve_bucket(pdf), out_schema
+    )
 
 
 def apply_callbacks(
@@ -311,11 +359,14 @@ def ruler(
     lexicon: dict | None = None,
     callbacks: dict[str, object] | None = None,
 ) -> DataFrame:
-    """match_patterns + resolve_matches (+ optional on_match callbacks):
-    the SpaczzRuler as one operator."""
-    resolved = resolve_matches(
-        match_patterns(
-            docs, patterns, id_col=id_col, text_col=text_col, lexicon=lexicon
-        )
+    """match_patterns + conflict resolution (+ optional on_match
+    callbacks): the SpaczzRuler as one operator.
+
+    Resolution is fused into the matcher UDF (``resolve=True``) — the plan
+    is a single narrow Arrow stage per doc partition; no shuffle happens
+    unless ``callbacks`` force the grouped-pandas callback stage."""
+    resolved = match_patterns(
+        docs, patterns, id_col=id_col, text_col=text_col, lexicon=lexicon,
+        resolve=True,
     )
     return apply_callbacks(resolved, callbacks or {})

@@ -90,12 +90,24 @@ def substring_candidates(
 
     Documents below ``min_bytes`` are excluded — tiny files share
     boilerplate k-grams and are already fully covered by the MinHash path.
+
+    When the corpus already carries a precomputed ``fingerprints`` column
+    (the fused signatures stage —
+    ``functions.signatures.with_shingles_and_fingerprints``), this stage is
+    pure JVM: explode + bucket joins, no Arrow pass over content at all.
+    Short docs have empty precomputed arrays, so the explode reproduces the
+    ``min_bytes`` filter exactly.
     """
-    fp = make_fingerprint_udf(k, w)
-    buckets = (
-        corpus.where(F.col("n_bytes") >= min_bytes)
-        .select("file_id", F.explode(fp("content")).alias("bucket_key"))
-    )
+    if "fingerprints" in corpus.columns:
+        buckets = corpus.select(
+            "file_id", F.explode("fingerprints").alias("bucket_key")
+        )
+    else:
+        fp = make_fingerprint_udf(k, w)
+        buckets = (
+            corpus.where(F.col("n_bytes") >= min_bytes)
+            .select("file_id", F.explode(fp("content")).alias("bucket_key"))
+        )
     return pairs_from_buckets(buckets, bucket_cap).withColumn(
         "stage", F.lit("substring")
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import warnings
 
+import numpy as np
+
 from .ratios import compare
 from .tokenizer import TokenDoc, tokenize
 
@@ -115,6 +117,79 @@ def check_ratios(
 # ---------------------------------------------------------------------------
 
 
+# Ratio functions whose float score admits the per-window multiset upper
+# bound used by _screen_window_starts: for simple/quick the score is
+# 200*LCS/(len_q+len_w) and LCS chars are common chars, so
+# score <= 200*I/(len_q+len_w); for the integer levenshtein ratio,
+# d >= m - I gives ratio <= (200*I + m) // (2*m) with m = max(len_q, len_w).
+# partial/token_* variants change which strings enter the comparison and are
+# NOT screenable (same analysis as operators.matcher._SCREENABLE_FUNCS).
+_WINDOW_SCREENABLE = {"simple", "quick", "levenshtein"}
+# Below this many windows the numpy setup costs more than it saves.
+_MIN_WINDOWS_TO_SCREEN = 8
+
+
+def _screen_window_starts(
+    doc: TokenDoc, query_len: int, qtext: str, gate: int,
+    ignore_case: bool, fuzzy_func: str,
+):
+    """Vectorized per-window prefilter: return the start indices whose
+    character-multiset upper bound can reach ``gate`` (a superset of the
+    kernel's accepted windows — pruned windows provably score < gate, i.e.
+    compare() would return 0), or None when the screen does not apply.
+
+    One cumulative char-count pass over the doc text (restricted to the
+    query's alphabet) turns every window's multiset intersection into two
+    array lookups; the InDel/Levenshtein kernel then runs only on survivors.
+    """
+    q = qtext.lower() if ignore_case else qtext
+    lq = len(q)
+    if not lq:
+        return None
+    text = doc.text
+    if ignore_case:
+        lowered = text.lower()
+        if len(lowered) != len(text):
+            # Unicode case folding changed offsets (e.g. 'İ' -> 'i̇');
+            # token spans no longer index the lowered text — skip screening.
+            return None
+        text = lowered
+    # query alphabet + query char counts
+    alpha: dict[str, int] = {}
+    for ch in q:
+        if ch not in alpha:
+            alpha[ch] = len(alpha)
+    qc = np.zeros(len(alpha), dtype=np.int64)
+    for ch in q:
+        qc[alpha[ch]] += 1
+    codes = np.fromiter(
+        (alpha.get(ch, -1) for ch in text), dtype=np.int64, count=len(text)
+    )
+    onehot = np.zeros((len(text) + 1, len(alpha)), dtype=np.int32)
+    pos = np.nonzero(codes >= 0)[0]
+    onehot[pos + 1, codes[pos]] = 1
+    cum = np.cumsum(onehot, axis=0)
+    n_tok = len(doc)
+    tok_starts = np.fromiter(
+        (t.start for t in doc.tokens), dtype=np.int64, count=n_tok
+    )
+    tok_ends = np.fromiter(
+        (t.end for t in doc.tokens), dtype=np.int64, count=n_tok
+    )
+    ws = tok_starts[: n_tok - query_len + 1]
+    we = tok_ends[query_len - 1:]
+    wlen = we - ws
+    inter = np.minimum(cum[we] - cum[ws], qc[None, :]).sum(axis=1)
+    if fuzzy_func == "levenshtein":
+        m = np.maximum(wlen, lq)
+        keep = (200 * inter + m) // (2 * m) >= gate
+    else:
+        # float score >= gate  requires  200*I >= gate*(lq+lw) exactly
+        # (both sides integer-valued up to the exact rational comparison)
+        keep = 200 * inter >= gate * (lq + wlen)
+    return np.nonzero(keep)[0]
+
+
 def scan(
     doc: TokenDoc,
     query: TokenDoc,
@@ -136,8 +211,20 @@ def scan(
         return None
     qtext = query.span_text(0, query_len)
     gate = min_r1 if min_r1 else 1
+    starts = range(doc_len - query_len + 1)
+    if (
+        compare_fn is None
+        and fuzzy_func in _WINDOW_SCREENABLE
+        and len(starts) >= _MIN_WINDOWS_TO_SCREEN
+    ):
+        screened = _screen_window_starts(
+            doc, query_len, qtext, gate, ignore_case, fuzzy_func
+        )
+        if screened is not None:
+            starts = screened
     out: dict[int, int] = {}
-    for i in range(doc_len - query_len + 1):
+    for i in starts:
+        i = int(i)
         wtext = doc.span_text(i, i + query_len)
         if compare_fn is not None:
             r = compare_fn(qtext, wtext, gate, ignore_case)

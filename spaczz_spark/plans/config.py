@@ -49,6 +49,10 @@ class DedupConfig:
     bucket_cap: int = 64
     # layout
     shuffle_partitions: int = 32
+    # checkpoint-layout version: folded into config_hash so schema changes
+    # to stage outputs (e.g. the fused fingerprints column in `signatures`)
+    # invalidate incompatible checkpoints from older engine builds
+    layout_version: int = 3
 
     def __post_init__(self):
         if self.bands * self.rows != self.num_perm:

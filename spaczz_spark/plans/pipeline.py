@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.signatures import normalize, with_shingles, with_signatures
+from ..functions.signatures import (
+    normalize,
+    with_shingles_and_fingerprints,
+    with_signatures,
+)
 from ..operators.components import attach_components, connected_components
 from ..operators.lsh import minhash_candidates, simhash_candidates
 from ..operators.substring import substring_candidates, verify_substring_pairs
@@ -101,12 +105,37 @@ class DedupPipeline:
     def input_fingerprint(files: DataFrame) -> str:
         """Identity of the input dataset, folded into every checkpoint
         manifest: resuming with the same config but a *different* input must
-        rebuild (metadata-only — file listing + schema; for in-memory inputs
-        the analyzed logical plan stands in for the file list)."""
+        rebuild (metadata-only — file listing + per-file (size, mtime) +
+        schema; for in-memory inputs the analyzed logical plan stands in
+        for the file list).
+
+        Size/mtime are included so rewriting data IN PLACE under identical
+        file names (external table update, manual fixture edit) changes the
+        fingerprint and forces a rebuild instead of a silent stale resume.
+        Statting goes through the Hadoop FileSystem API (works for any
+        scheme Spark can read); a path that cannot be statted contributes
+        its name only.
+        """
         import hashlib
 
         paths = sorted(files.inputFiles())
-        basis = "\n".join(paths) if paths else files._jdf.queryExecution().analyzed().toString()
+        if paths:
+            spark = files.sparkSession
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            lines = []
+            for p in paths:
+                try:
+                    jpath = jvm.org.apache.hadoop.fs.Path(p)
+                    st = jpath.getFileSystem(hconf).getFileStatus(jpath)
+                    lines.append(
+                        f"{p}\t{st.getLen()}\t{st.getModificationTime()}"
+                    )
+                except Exception:
+                    lines.append(p)
+            basis = "\n".join(lines)
+        else:
+            basis = files._jdf.queryExecution().analyzed().toString()
         basis += "\n" + files.schema.simpleString()
         return hashlib.sha256(basis.encode()).hexdigest()[:16]
 
@@ -173,10 +202,17 @@ class DedupPipeline:
 
         # ---- signatures -----------------------------------------------------
         def build_signatures():
-            shingled = with_shingles(reps, cfg.shingle_k)
+            # fused single Arrow pass over content: shingles + winnowed
+            # substring fingerprints together (content is serialized to
+            # Python once, and the candidate stage downstream becomes pure
+            # JVM explode/join work)
+            shingled = with_shingles_and_fingerprints(
+                reps, cfg.shingle_k, cfg.substring_k, cfg.substring_w,
+                cfg.substring_min_len,
+            )
             return with_signatures(shingled, cfg.num_perm, cfg.seed).select(
                 "file_id", "content_sha256", "content", "n_bytes",
-                "shingles", "n_shingles", "minhash", "simhash",
+                "shingles", "n_shingles", "fingerprints", "minhash", "simhash",
             )
 
         signatures = self._stage("signatures", build_signatures)

@@ -452,7 +452,13 @@ def q_doc_ruler(spark, sf_dir):
                 {"min_r": 80, "flex": 0, "fuzzy_func": "levenshtein"}),
         Pattern("BIGTABLE", "big table", "regex", {}),
     ]
-    return ruler(_docs(spark, sf_dir), patterns).select(
+    # the sf* documents table is one sub-MB parquet file -> one read
+    # partition -> the matcher UDF would run serial; spread it first (at
+    # real scale the source has many partitions and this is a no-op choice)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return ruler(docs, patterns).select(
         "doc_id", "label", "start", "end", F.col("ratio").cast("long").alias("ratio")
     )
 

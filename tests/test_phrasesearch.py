@@ -182,3 +182,44 @@ def test_matcher_prefilter_is_lossless():
                         )
             unscreened.sort(key=lambda m: (m[1], -(m[2] - m[1]), -m[3], m[4]))
         assert screened == unscreened, (text, screened, unscreened)
+
+
+def test_scan_window_screen_is_lossless():
+    """Round-3: the vectorized per-window screen inside scan() must be
+    byte-identical to the unscreened loop for every screenable func —
+    including ratio==gate boundary hits and Unicode case-length changes."""
+    import random
+
+    from spaczz_spark.phrasesearch import _MIN_WINDOWS_TO_SCREEN, scan
+    from spaczz_spark.ratios import compare
+    from spaczz_spark.tokenizer import tokenize
+
+    def brute(doc, query, min_r1, ignore_case, fuzzy_func):
+        qtext = query.span_text(0, len(query))
+        gate = min_r1 if min_r1 else 1
+        out = {}
+        for i in range(len(doc) - len(query) + 1):
+            r = compare(qtext, doc.span_text(i, i + len(query)),
+                        min_r=gate, ignore_case=ignore_case,
+                        fuzzy_func=fuzzy_func)
+            if r:
+                out[i] = r
+        return out or None
+
+    rng = random.Random(31)
+    vocab = ["table", "tabel", "grant", "grunt", "ab", "a", "xy",
+             "İstanbul", "zzz", "data", "custmer", "customer"]
+    queries = ["grant", "custmer", "ab xy", "İstanbul", "tabel zzz"]
+    for trial in range(200):
+        n = rng.randint(_MIN_WINDOWS_TO_SCREEN, 40)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        q = rng.choice(queries)
+        func = rng.choice(["simple", "quick", "levenshtein"])
+        gate = rng.choice([1, 40, 50, 67, 75, 80, 100])
+        ic = rng.random() < 0.7
+        doc, query = tokenize(text), tokenize(q)
+        got = scan(doc, query, min_r1=gate, ignore_case=ic, fuzzy_func=func)
+        want = brute(doc, query, gate, ic, func)
+        assert got == want, (trial, text, q, func, gate, ic, got, want)
+        if got:
+            assert all(type(k) is int for k in got)

@@ -177,3 +177,79 @@ def test_iceberg_validation_script_skips_cleanly(spark):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "SKIP" in proc.stderr or "validated" in proc.stdout
+
+
+def test_fused_shingle_fingerprint_parity(spark):
+    """Round-3: the fused single-pass (shingles, fingerprints) UDF must
+    equal the two separate UDFs bit-for-bit, including the min_bytes
+    empty-fingerprint semantics for short docs."""
+    from spaczz_spark.functions.signatures import (
+        normalize,
+        with_shingles,
+        with_shingles_and_fingerprints,
+    )
+    from spaczz_spark.operators.substring import make_fingerprint_udf
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("r", f"f{i}.py", "c", ("def f%d():\n    return query_big_table(%d)\n" % (i, i)) * (i + 1), "py")
+        for i in range(8)
+    ] + [("r", "tiny.py", "c", "x=1", "py"), ("r", "empty.py", "c", "", "py")]
+    files = normalize(
+        spark.createDataFrame(rows, ["repo", "path", "commit", "content", "lang"])
+    )
+    fused = {
+        r["file_id"]: r
+        for r in with_shingles_and_fingerprints(files, 3, 32, 32, 100).collect()
+    }
+    sep_sh = {r["file_id"]: r for r in with_shingles(files, 3).collect()}
+    fp_udf = make_fingerprint_udf(32, 32)
+    sep_fp = {
+        r["file_id"]: list(r["fp"])
+        for r in files.where(F.col("n_bytes") >= 100)
+        .select("file_id", fp_udf("content").alias("fp"))
+        .collect()
+    }
+    for fid, r in fused.items():
+        assert list(r["shingles"]) == list(sep_sh[fid]["shingles"]), fid
+        assert r["n_shingles"] == sep_sh[fid]["n_shingles"]
+        assert list(r["fingerprints"]) == sep_fp.get(fid, []), fid
+
+
+def test_inplace_rewrite_invalidates_resume(spark, tmp_path_factory):
+    """Round-3 advice: rewriting input data IN PLACE under identical file
+    names must change the input fingerprint (size/mtime are folded in) and
+    force a rebuild instead of a silent stale resume."""
+    import os
+    import shutil
+
+    from spaczz_spark.sources.corpus import generate_corpus
+
+    data_dir = str(tmp_path_factory.mktemp("inplace"))
+    p = os.path.join(data_dir, "files.parquet")
+    spark.createDataFrame(generate_corpus(n_files=80, seed=1).files).write.mode(
+        "overwrite"
+    ).parquet(p)
+    root = str(tmp_path_factory.mktemp("ckpt4"))
+    cfg = DedupConfig()
+    fp1 = DedupPipeline.input_fingerprint(spark.read.parquet(p))
+    DedupPipeline(spark, cfg, root).run(spark.read.parquet(p))
+
+    # rewrite in place: same file NAMES, different content
+    tmp2 = p + ".new"
+    spark.createDataFrame(generate_corpus(n_files=80, seed=2).files).coalesce(
+        len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    ).write.mode("overwrite").parquet(tmp2)
+    olds = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+    news = sorted(f for f in os.listdir(tmp2) if f.endswith(".parquet"))
+    for old, new in zip(olds, news):
+        shutil.copyfile(os.path.join(tmp2, new), os.path.join(p, old))
+        crc = os.path.join(p, "." + old + ".crc")
+        if os.path.exists(crc):  # hadoop local-FS checksum sidecar
+            os.remove(crc)
+
+    fp2 = DedupPipeline.input_fingerprint(spark.read.parquet(p))
+    assert fp1 != fp2, "in-place rewrite did not change the fingerprint"
+    pipe2 = DedupPipeline(spark, cfg, root)
+    pipe2.run(spark.read.parquet(p))
+    assert not any(k.endswith("_resumed") for k in pipe2.metrics), pipe2.metrics
