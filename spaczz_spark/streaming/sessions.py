@@ -55,11 +55,23 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _make_sessionizer(gap_seconds: float):
+def _make_sessionizer(gap_seconds: float, close_tails: bool):
     def sessionize(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if close_tails and state.hasTimedOut:
+            # event-time timeout: the watermark passed last_ts + gap, so no
+            # on-time event can extend this session any more — emit the
+            # tail and drop the state (exactly the close a later in-gap
+            # event could otherwise never trigger)
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start, last, n)],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -77,6 +89,14 @@ def _make_sessionizer(gap_seconds: float):
                     last = max(last, ts)
                     n += 1
         state.update((start, last, n))
+        if close_tails and last is not None:
+            # fire once the event-time watermark passes the session gap;
+            # clamp above the current watermark (setting a timeout at or
+            # below it is an error)
+            timeout_ms = int((last + gap_seconds) * 1000)
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -92,23 +112,46 @@ def sessionize_stream(
     gap_seconds: float = 1800.0,
     id_col: str = "user_id",
     ts_col: str = "ts",
+    close_tails: bool = False,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Apply the stateful sessionizer to a streaming events DataFrame.
 
     Returns a streaming DataFrame of CLOSED sessions
     (user_id, session_start, session_end, n_events) with epoch-second
     boundaries; wire it to any append-mode sink.
+
+    ``close_tails=True`` adds an EVENT-TIME TIMEOUT: a watermark
+    (``watermark_delay`` behind max event time) is attached and each open
+    session schedules a timeout at ``last_ts + gap_seconds``; when the
+    watermark passes it, the session tail is emitted and its state removed
+    — a real pipeline's open sessions close without waiting for a later
+    batch from the same user. Without it (default, reference-parity
+    semantics) tails stay in state until a later event closes them.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    src = events.select(
-        F.col(id_col).cast("string").alias("user_id"),
-        F.col(ts_col).cast("timestamp").cast("double").alias("ts_epoch"),
-    )
+    ts = F.col(ts_col).cast("timestamp")
+    if close_tails:
+        src = events.select(
+            F.col(id_col).cast("string").alias("user_id"),
+            ts.alias("ts_wm"),
+        ).withWatermark("ts_wm", watermark_delay).withColumn(
+            "ts_epoch", F.col("ts_wm").cast("double")
+        )
+    else:
+        src = events.select(
+            F.col(id_col).cast("string").alias("user_id"),
+            ts.cast("double").alias("ts_epoch"),
+        )
     return src.groupBy("user_id").applyInPandasWithState(
-        _make_sessionizer(gap_seconds),
+        _make_sessionizer(gap_seconds, close_tails),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if close_tails
+            else GroupStateTimeout.NoTimeout
+        ),
     )

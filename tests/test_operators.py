@@ -514,3 +514,55 @@ def test_ann_id_collision_not_excluded_with_separate_queries(spark):
     # corpus-queries-itself mode still drops true self-matches
     self_out = lsh_cosine_topk(corpus, k=2, n_bits=2, n_tables=8).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in self_out)
+
+
+def test_media_backend_validation_script_skips_cleanly():
+    """scripts/validate_media_backends.py exits 0 with a SKIP when PIL is
+    absent; with PIL it validates real resize + gif frame sampling."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "scripts/validate_media_backends.py"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SKIP" in proc.stderr or "validated" in proc.stdout
+
+
+def test_cc_path_graph_converges_logarithmically(spark):
+    """Round-3 stress: a 10^5-node scrambled path graph (worst diameter —
+    naive label propagation would need ~10^5 rounds). large/small-star
+    must converge in O(log n) iterations with flat per-iteration walls,
+    labeling every node with the component minimum."""
+    import math
+    import os
+    import sys as _sys
+
+    fix = "/root/repo/fixtures/cc_path/edges.parquet"
+    if not os.path.exists(fix):
+        _sys.path.insert(0, "/root/repo/scripts")
+        from make_fixtures import make_ccpath
+
+        make_ccpath()
+    edges = spark.read.parquet(fix)
+    n = edges.count() + 1
+    metrics: dict = {}
+    labels, iters = connected_components(edges, max_iter=40, metrics=metrics)
+    bound = 2 * math.ceil(math.log2(n))
+    assert iters <= bound, (iters, bound)
+    agg = labels.agg(
+        F.countDistinct("component_id").alias("ncomp"),
+        F.count(F.lit(1)).alias("nrows"),
+        F.min("component_id").alias("cmin"),
+        F.max("component_id").alias("cmax"),
+    ).collect()[0]
+    assert agg["ncomp"] == 1 and agg["nrows"] == n
+    assert agg["cmin"] == agg["cmax"]  # everyone got the single global min
+    walls = metrics["iteration_walls"]
+    assert len(walls) == iters
+    # per-iteration wall stays flat-ish: the edge set shrinks every round,
+    # so no late iteration should dwarf the early ones (noisy shared host
+    # -> generous factor vs the median, and only past the warmup round)
+    med = sorted(walls)[len(walls) // 2]
+    assert max(walls[1:]) <= max(6 * med, 10.0), walls

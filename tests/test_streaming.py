@@ -168,3 +168,61 @@ def test_stateful_sessionization(spark, tmp_path):
         (r["user_id"], r["n_events"]) for r in spark.read.parquet(out).collect()
     )
     assert got == [("u1", 2), ("u2", 2)], got
+
+
+def test_sessionizer_event_time_timeout_closes_tails(spark, tmp_path):
+    """Round-3: with close_tails=True, a stream that ends mid-session emits
+    the open tail once the event-time watermark passes last_ts + gap —
+    no later batch from the same user needed."""
+    import pandas as pd
+
+    from spaczz_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(spec):
+        return pd.DataFrame(
+            [{"user_id": u, "ts": (base + pd.Timedelta(minutes=m))}
+             for u, m in spec]
+        ).astype({"ts": "datetime64[us]"})
+
+    inp = tmp_path / "tmo_in"; inp.mkdir()
+    out = str(tmp_path / "tmo_out"); ck = str(tmp_path / "tmo_ck")
+
+    def run():
+        schema = spark.read.parquet(str(inp)).schema
+        stream = spark.readStream.schema(schema).parquet(str(inp))
+        q = (
+            sessionize_stream(
+                stream, gap_seconds=1800, close_tails=True,
+                watermark_delay="5 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: u1 has two events 10 min apart -> one OPEN session
+    rows([("u1", 0), ("u1", 10)]).to_parquet(str(inp / "b1.parquet"), index=False)
+    run()
+    assert spark.read.parquet(out).count() == 0  # open, not yet timed out
+
+    # batch 2: only an unrelated user far in the future; the watermark
+    # advances past u1.last + gap -> u1's tail must be emitted by TIMEOUT
+    rows([("zz", 600)]).to_parquet(str(inp / "b2.parquet"), index=False)
+    run()
+    # one more empty-advance batch: availableNow runs may evaluate timeouts
+    # on the batch after the watermark update
+    rows([("zz", 700)]).to_parquet(str(inp / "b3.parquet"), index=False)
+    run()
+    got = sorted(
+        (r["user_id"], r["n_events"],
+         (r["session_end"] - r["session_start"]) / 60.0)
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] == "u1"
+    )
+    assert got == [("u1", 2, 10.0)], got
