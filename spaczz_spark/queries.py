@@ -429,9 +429,10 @@ def q_emb_topk_ann(spark, sf_dir):
     # vs the exact cosine_topk on the same fixtures.
     from .operators.ann import lsh_cosine_topk
 
-    return lsh_cosine_topk(
-        _emb(spark, sf_dir), k=5, n_bits=4, n_tables=32, n_probes=2
-    )
+    # single-file parquet -> 1 read partition -> serial sketch UDFs;
+    # spread first (no-op decision at real scale, where scans are wide)
+    emb = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return lsh_cosine_topk(emb, k=5, n_bits=4, n_tables=32, n_probes=2)
 
 
 def q_doc_ruler(spark, sf_dir):
@@ -468,9 +469,8 @@ def q_emb_ivf_ann(spark, sf_dir):
     # quantizer + n_probe cells); pytest gates recall >= 0.9 vs exact.
     from .operators.ann import ivf_cosine_topk
 
-    return ivf_cosine_topk(
-        _emb(spark, sf_dir), k=5, n_cells=16, n_probe=8, seed=42
-    )
+    emb = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=8, seed=42)
 
 
 def q_media_decode(spark, sf_dir):
