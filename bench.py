@@ -8,9 +8,9 @@ queries over the driver testdata. The flagship metric is files/sec through
 the full pipeline (cold, no checkpoints reused).
 
 Scaling evidence (north rule): SPARK_GRAFT_SCALING=1 re-runs the flagship
-at local[8] and local[32] in separate SparkSessions on the same input and
-reports throughput at both plus the efficiency ratio
-(throughput_ratio / core_ratio).
+at two parallelism levels (default local[1] vs local[4]) in separate
+SparkSessions on the same input and reports throughput at both plus the
+efficiency ratio (throughput_ratio / core_ratio).
 """
 
 from __future__ import annotations
@@ -154,12 +154,14 @@ def main() -> None:
         if spark is not None:
             spark.stop()
         # N vs 4N cores. The sandbox advertises 32 CPUs but measured
-        # parallel throughput saturates at ~14.5 effective cores (host
-        # overcommit; see BENCH/BASELINE.md), so the honest 4x-capacity
-        # pair is 4 vs 16. Repeats with min-wall to shed host noise.
+        # parallel throughput saturates at ~14.5 effective cores with
+        # external neighbor load of 2-7 on top (see BENCH/BASELINE.md);
+        # a level with N task threads also runs ~N Arrow Python workers,
+        # so both levels must keep 2N inside that envelope: (1,4) is the
+        # honest 4x pair. Repeats with min-wall to shed host noise.
         pair = [
             int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
+            for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4").split(",")
         ]
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
         # scaling uses a large corpus so compute dominates fixed stage

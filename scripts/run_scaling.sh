@@ -3,7 +3,7 @@ cd /root/repo
 export SPARK_GRAFT_SCALING=1
 export SPARK_GRAFT_SCALE_REPEATS="${SPARK_GRAFT_SCALE_REPEATS:-3}"
 export SPARK_GRAFT_SCALE_FIXTURE="${SPARK_GRAFT_SCALE_FIXTURE:-scale2}"
-export SPARK_GRAFT_SCALE_PAIR="${SPARK_GRAFT_SCALE_PAIR:-2,8}"
+export SPARK_GRAFT_SCALE_PAIR="${SPARK_GRAFT_SCALE_PAIR:-1,4}"
 export SPARK_GRAFT_SKIP_HEADLINE="${SPARK_GRAFT_SKIP_HEADLINE:-0}"
 # The 280k-file corpus is GC-bound on the pair-verify join at 16g; the
 # bigger heap is a scaling-run opt-in, NOT the engine default (it regresses
