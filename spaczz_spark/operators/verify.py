@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ratios import indel_ratio
+from ..ratios import indel_ratio, levenshtein_ratio
 
 __all__ = ["make_edit_ratio_udf", "attach_pair_sides", "verify_pairs"]
 
@@ -36,8 +36,26 @@ __all__ = ["make_edit_ratio_udf", "attach_pair_sides", "verify_pairs"]
 CHAR_KERNEL_MAX = 8192
 
 
-def make_edit_ratio_udf(min_r: int = 0):
-    """pandas UDF (string, string) -> int InDel ratio, reference rounding."""
+def make_edit_ratio_udf(min_r: int = 0, func: str = "indel"):
+    """pandas UDF (string, string) -> int edit ratio, reference rounding.
+
+    ``func`` picks the kernel:
+
+    - ``"indel"`` (default) — the reference's InDel similarity (S1,
+      reference ``registry/fuzzyfuncs.py:9``); above ``CHAR_KERNEL_MAX``
+      chars it falls back to token-level InDel (bounded cost, same family).
+    - ``"levenshtein"`` — plain unit-cost Levenshtein as an integer
+      percentage (``ratios.levenshtein_ratio``): the one kernel every
+      ANSI-SQL engine mirrors bit-for-bit, which is what makes the full
+      pipeline DuckDB-oracle-checkable. No token fallback (the numpy row
+      DP keeps multi-KB pairs fast); instead, pairs whose *length gap
+      alone* already caps the ratio below ``min_r`` short-circuit to 0
+      without running the DP (d >= |len1 - len2| is an exact lower bound,
+      so the cap (200*(m-|Δ|)+m)//(2m) is provable — mirrored as a plain
+      integer predicate in the SQL oracle).
+    """
+    if func not in ("indel", "levenshtein"):
+        raise ValueError(f"unknown edit-ratio kernel {func!r}")
 
     @F.pandas_udf("int")
     def edit_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -46,7 +64,14 @@ def make_edit_ratio_udf(min_r: int = 0):
             if s1 is None or s2 is None:
                 out.append(0)
                 continue
-            if max(len(s1), len(s2)) > CHAR_KERNEL_MAX:
+            if func == "levenshtein":
+                m = max(len(s1), len(s2))
+                gap = abs(len(s1) - len(s2))
+                if m and min_r and (200 * (m - gap) + m) // (2 * m) < min_r:
+                    out.append(0)
+                    continue
+                r = levenshtein_ratio(s1, s2, score_cutoff=min_r)
+            elif max(len(s1), len(s2)) > CHAR_KERNEL_MAX:
                 r = indel_ratio(s1.split(), s2.split(), score_cutoff=min_r)
             else:
                 r = indel_ratio(s1, s2, score_cutoff=min_r)
@@ -86,6 +111,7 @@ def verify_pairs(
     min_r2: int = 75,
     jaccard_min: float = 0.7,
     jaccard_floor: float = 0.2,
+    ratio_func: str = "indel",
 ) -> DataFrame:
     """Exactly score candidate pairs and keep the verified ones.
 
@@ -145,7 +171,12 @@ def verify_pairs(
         .alias("verified_by"),
     )
 
-    edit_udf = make_edit_ratio_udf()
+    # min_r2 - 1 is the kernel's score_cutoff: every row the post-round
+    # filter below could keep still comes back exact (a raw 74.6 rounds UP
+    # to 75, so cutting at 75 would wrongly zero it — cutting at 74 cannot),
+    # while sub-cutoff rows short-circuit (indel: rapidfuzz cutoff
+    # semantics; levenshtein: the length-gap bound skips the DP entirely)
+    edit_udf = make_edit_ratio_udf(max(min_r2 - 1, 0), func=ratio_func)
     band = attach_pair_sides(
         scored.where(F.col("kernel_band")).select(
             "a_id", "b_id", "stage", "jaccard"

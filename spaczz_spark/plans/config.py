@@ -41,6 +41,9 @@ class DedupConfig:
     thresh: int = 100
     jaccard_min: float = 0.7
     jaccard_floor: float = 0.2
+    # verify kernel: "indel" (reference S1 semantics) or "levenshtein"
+    # (SQL-mirrorable integer ratio — the oracle-checkable variant)
+    ratio_func: str = "indel"
     # substring stage
     substring_k: int = 32
     substring_w: int = 32
@@ -59,6 +62,11 @@ class DedupConfig:
             raise ValueError(
                 f"bands*rows must equal num_perm "
                 f"({self.bands}*{self.rows} != {self.num_perm})"
+            )
+        if self.ratio_func not in ("indel", "levenshtein"):
+            raise ValueError(
+                f"ratio_func must be 'indel' or 'levenshtein', "
+                f"got {self.ratio_func!r}"
             )
 
     def resolved_ratios(self) -> tuple[int, int, int]:

@@ -259,6 +259,7 @@ class DedupPipeline:
                 min_r2=min_r2,
                 jaccard_min=cfg.jaccard_min,
                 jaccard_floor=cfg.jaccard_floor,
+                ratio_func=cfg.ratio_func,
             )
             v2 = verify_substring_pairs(
                 sub_cand, signatures, min_len=cfg.substring_min_len

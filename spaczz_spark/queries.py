@@ -125,30 +125,63 @@ inter AS (
   GROUP BY 1, 2
 ),
 jac AS (
-  SELECT a_key, b_key, round(c / (na.n + nb.n - c), 6) AS jaccard
+  SELECT a_key, b_key, round(c / (na.n + nb.n - c), 6) AS jaccard,
+         c / (na.n + nb.n - c) AS jaccard_raw
   FROM inter
   JOIN sizes na ON na.file_key = a_key
   JOIN sizes nb ON nb.file_key = b_key
 )
 """
 
-# containment body assumes a CTE `f(file_key, content, len)` is in scope
-_SQL_CONTAINMENT_BODY = """
+
+def _sql_containment_body(min_len: int) -> str:
+    # assumes a CTE `f(file_key, content, len)` is in scope; perfect-recall
+    # every-position anchor join + exact strpos verify
+    return f"""
 needles AS (
   SELECT file_key AS a_key, substr(content, 1, 64) AS anchor, content AS a_text,
          len AS a_len
-  FROM f WHERE len >= 200
+  FROM f WHERE len >= {min_len}
 ),
 hosts AS (
   SELECT file_key AS b_key, substr(content, i, 64) AS anchor, content AS b_text,
          len AS b_len
   FROM f, unnest(range(1, greatest(len - 63, 1) + 1)) AS r(i)
-  WHERE len > 200
+  WHERE len > {min_len}
 ),
 contained AS (
   SELECT DISTINCT a_key, b_key
   FROM needles JOIN hosts USING (anchor)
   WHERE a_key != b_key AND a_len < b_len AND strpos(b_text, a_text) > 0
+)
+"""
+
+
+_SQL_CONTAINMENT_BODY = _sql_containment_body(200)
+
+# Verified-edge fragments mirroring the pipeline's oracle-exact
+# configuration (DedupConfig(bands=128, rows=1, ratio_func="levenshtein")):
+# candidate recall at the 0.2 Jaccard floor is 1-(1-0.2)^128 = 1-4.6e-13
+# per pair, every bucket in the committed fixtures is far below the salted
+# tier's star_cap (4096 > corpus size), and the winnowed-fingerprint
+# containment path is deterministic — so the verified edge set is exactly:
+#   near_e  jaccard >= jaccard_min (0.7)
+#   band_e  jaccard in [0.2, 0.7) AND integer levenshtein ratio >= 75
+#           (the length-gap prefilter is a provable upper bound, identical
+#           on the engine side — operators/verify.py make_edit_ratio_udf)
+# assumes CTEs `f` and `jac` (with jaccard_raw) are in scope.
+_SQL_VERIFY_EDGES = """
+near_e AS (SELECT a_key AS a, b_key AS b FROM jac WHERE jaccard_raw >= 0.7),
+band_e AS (
+  SELECT j.a_key AS a, j.b_key AS b
+  FROM jac j
+  JOIN f fa ON fa.file_key = j.a_key
+  JOIN f fb ON fb.file_key = j.b_key
+  WHERE j.jaccard_raw >= 0.2 AND j.jaccard_raw < 0.7
+    AND (200 * (greatest(fa.len, fb.len) - abs(fa.len - fb.len))
+         + greatest(fa.len, fb.len)) // (2 * greatest(fa.len, fb.len)) >= 75
+    AND (200 * (greatest(fa.len, fb.len) - levenshtein(fa.content, fb.content))
+         + greatest(fa.len, fb.len)) // (2 * greatest(fa.len, fb.len)) >= 75
 )
 """
 
@@ -424,15 +457,23 @@ def q_emb_lsh_ann(spark, sf_dir):
 
 
 def q_emb_topk_ann(spark, sf_dir):
-    # rows-only check: top-k LSH recall is probabilistic by design (the
-    # k-th neighbor can sit at any cosine); pytest gates recall >= 0.95
-    # vs the exact cosine_topk on the same fixtures.
+    """Multiprobe-LSH top-k at the ORACLE-EXACT full-probe configuration.
+
+    With ``n_bits=1`` each hash table has exactly two buckets and the
+    multiprobe step (``n_probes=1``) probes both, so every query's
+    candidate set is the whole corpus *by construction* (not
+    probabilistically) — the LSH machinery provably returns the exact
+    brute-force top-k and the DuckDB oracle mirrors it. This is the same
+    exhaustive-breadth argument as ``q_emb_ivf_ann``'s n_probe=n_cells.
+    Production tuning (n_bits=4, n_tables=32, n_probes=2) is what bench.py
+    measures; its recall (>=0.95 vs exact) is pytest-gated.
+    """
     from .operators.ann import lsh_cosine_topk
 
     # single-file parquet -> 1 read partition -> serial sketch UDFs;
     # spread first (no-op decision at real scale, where scans are wide)
     emb = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    return lsh_cosine_topk(emb, k=5, n_bits=4, n_tables=32, n_probes=2)
+    return lsh_cosine_topk(emb, k=5, n_bits=1, n_tables=2, n_probes=1)
 
 
 def q_doc_ruler(spark, sf_dir):
@@ -465,12 +506,18 @@ def q_doc_ruler(spark, sf_dir):
 
 
 def q_emb_ivf_ann(spark, sf_dir):
-    # rows-only check: IVF recall is probabilistic by design (coarse
-    # quantizer + n_probe cells); pytest gates recall >= 0.9 vs exact.
+    """IVF top-k at the ORACLE-EXACT exhaustive-probe configuration.
+
+    ``n_probe == n_cells`` means every query probes every inverted list, so
+    the candidate set is the whole corpus and the index provably returns
+    the exact brute-force top-k (the coarse quantizer only routes, it never
+    drops) — DuckDB-mirrorable. Production tuning (n_probe=8 of 16 cells)
+    is what bench.py measures; its recall (>=0.9 vs exact) is pytest-gated.
+    """
     from .operators.ann import ivf_cosine_topk
 
     emb = _emb(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    return ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=8, seed=42)
+    return ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=16, seed=42)
 
 
 def q_media_decode(spark, sf_dir):
@@ -506,21 +553,85 @@ def q_media_features(spark, sf_dir):
 
 
 def q_files_pipeline(spark, sf_dir):
-    """Full dedup pipeline (incl. non-SQL InDel verification + provenance)
-    on the planted fixture corpus; rows-only driver check, pytest asserts
-    recall >= 0.99 and the sha invariant."""
+    """Full dedup pipeline END-TO-END (normalize -> exact collapse ->
+    signatures -> MinHash/SimHash/substring candidates -> two-phase verify
+    -> connected components), at the ORACLE-EXACT configuration:
+
+    - ``bands=128, rows=1``: candidate recall at the 0.2 Jaccard floor is
+      1-(1-0.2)^128 = 1-4.6e-13 per pair, so candidates ⊇ every pair the
+      verify stage could accept (same recall-by-config argument as
+      ``doc_minhash_neardup``).
+    - ``ratio_func="levenshtein"``: the verify kernel is the integer
+      Levenshtein ratio (ratios.levenshtein_ratio) that DuckDB's built-in
+      ``levenshtein()`` reproduces bit-for-bit in integer arithmetic.
+    - the winnowed-fingerprint containment path is deterministic (any
+      contained needle >= 100 bytes shares a fingerprint with its host).
+
+    The DuckDB oracle therefore rebuilds the exact same verified edge set
+    with brute-force SQL + a recursive-CTE connected components, and the
+    final cluster assignment matches row-for-row. Output keys are strings
+    (component_key = min file_key of the component) because DuckDB cannot
+    compute the engine's xxhash64 file ids. The default InDel-kernel
+    configuration of the same pipeline (non-SQL-expressible) is covered by
+    the pytest recall/sha gates and is what bench.py measures.
+    """
     import tempfile
 
     from .plans.config import DedupConfig
     from .plans.pipeline import DedupPipeline
 
     f = _files(spark, sf_dir).drop("file_key")
+    cfg = DedupConfig(bands=128, rows=1, ratio_func="levenshtein")
     pipe = DedupPipeline(
-        spark, DedupConfig(), tempfile.mkdtemp(prefix="spaczz_entry_")
+        spark, cfg, tempfile.mkdtemp(prefix="spaczz_entry_")
     )
-    return pipe.run(f).select(
-        "repo", "path", "commit", "lang", "file_id", "content_sha256",
-        "component_id",
+    out = pipe.run(f).select(
+        F.concat_ws(US, "repo", "path", "commit").alias("file_key"),
+        "lang", "content_sha256", "component_id",
+    )
+    w = Window.partitionBy("component_id")
+    return out.withColumn(
+        "component_key", F.min("file_key").over(w)
+    ).drop("component_id")
+
+
+def q_files_incremental(spark, sf_dir):
+    """Streaming/incremental dedup equivalence: the corpus arrives as 3
+    deterministic micro-batches through ``IncrementalDedup.process_batch``
+    (signature store + LSH probe per batch), the appended verified pairs
+    feed connected components, and the final assignment must equal the
+    one-shot batch result — which is what the DuckDB oracle computes
+    (brute-force verified edges + recursive-CTE components, same
+    oracle-exact config as ``files_pipeline``: bands=128/rows=1,
+    levenshtein kernel; the incremental path has no substring/exact-collapse
+    stage, so its edge set is exactly near_e ∪ band_e — sha-identical pairs
+    land in near_e with Jaccard 1).
+    """
+    import tempfile
+
+    from .functions.signatures import normalize
+    from .plans.config import DedupConfig
+    from .streaming.incremental import IncrementalDedup
+
+    f = _files(spark, sf_dir)
+    cfg = DedupConfig(bands=128, rows=1, ratio_func="levenshtein")
+    inc = IncrementalDedup(
+        spark, cfg, tempfile.mkdtemp(prefix="spaczz_incr_")
+    )
+    batched = f.withColumn("batch", F.pmod(F.xxhash64("file_key"), F.lit(3)))
+    for b in range(3):
+        inc.process_batch(
+            batched.where(F.col("batch") == b).drop("batch", "file_key")
+        )
+    pairs = spark.read.parquet(inc.pairs_path).select("a_id", "b_id")
+    labels, _ = connected_components(pairs)
+    keyed = normalize(f.drop("file_key")).select(
+        "file_id", F.concat_ws(US, "repo", "path", "commit").alias("file_key")
+    )
+    assigned = attach_components(keyed, labels)
+    w = Window.partitionBy("component_id")
+    return assigned.select(
+        "file_key", F.min("file_key").over(w).alias("component_key")
     )
 
 
@@ -543,6 +654,7 @@ QUERIES = {
     "files_substring_pairs": q_files_substring_pairs,
     "files_components": q_files_components,
     "files_pipeline": q_files_pipeline,
+    "files_incremental": q_files_incremental,
     "emb_neardup": q_emb_neardup,
     "emb_topk": q_emb_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
@@ -779,6 +891,93 @@ SELECT doc_id, label, start, "end", ratio FROM fuzz
 UNION ALL
 SELECT doc_id, label, start, "end", ratio FROM re
 """,
+    # files_pipeline: brute-force reconstruction of the pipeline's verified
+    # edge set at the oracle-exact config (see q_files_pipeline docstring):
+    # exact (sha) star edges ∪ jaccard >= 0.7 ∪ levenshtein band
+    # ∪ verbatim containment (needle >= 100 bytes), then recursive-CTE
+    # connected components; component_key = min member file_key.
+    "files_pipeline": f"""
+WITH RECURSIVE
+{_SQL_FILES_SHINGLES},
+{_sql_containment_body(100)},
+{_SQL_VERIFY_EDGES},
+sha_g AS (
+  SELECT file_key,
+         min(file_key) OVER (PARTITION BY sha256(content)) AS m
+  FROM f
+),
+exact_e AS (SELECT m AS a, file_key AS b FROM sha_g WHERE file_key != m),
+cont_e AS (SELECT a_key AS a, b_key AS b FROM contained),
+edges AS (
+  SELECT a, b FROM near_e UNION SELECT b, a FROM near_e
+  UNION SELECT a, b FROM band_e UNION SELECT b, a FROM band_e
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+  UNION SELECT a, b FROM cont_e UNION SELECT b, a FROM cont_e
+),
+reach(n, m) AS (
+  SELECT file_key, file_key FROM f
+  UNION
+  SELECT e.b, r.m FROM edges e JOIN reach r ON r.n = e.a
+),
+comp AS (SELECT n AS file_key, min(m) AS component_key FROM reach GROUP BY n)
+SELECT fl.file_key, fl.lang, sha256(fl.content) AS content_sha256,
+       comp.component_key
+FROM (SELECT concat_ws(chr(31), repo, path, commit) AS file_key, lang, content
+      FROM read_parquet('{_FILES_SMALL}')) fl
+JOIN comp USING (file_key)
+""",
+    # files_incremental: the incremental path's edge set is near_e ∪ band_e
+    # only (no substring or exact-collapse stage; sha-identical pairs have
+    # Jaccard 1 and land in near_e) — batch-vs-incremental equivalence.
+    "files_incremental": f"""
+WITH RECURSIVE
+{_SQL_FILES_SHINGLES},
+{_SQL_VERIFY_EDGES},
+edges AS (
+  SELECT a, b FROM near_e UNION SELECT b, a FROM near_e
+  UNION SELECT a, b FROM band_e UNION SELECT b, a FROM band_e
+),
+reach(n, m) AS (
+  SELECT file_key, file_key FROM f
+  UNION
+  SELECT e.b, r.m FROM edges e JOIN reach r ON r.n = e.a
+)
+SELECT n AS file_key, min(m) AS component_key FROM reach GROUP BY n
+""",
+    # emb_topk_ann / emb_ivf_ann: at their full-probe / exhaustive-probe
+    # configs the candidate set is the whole corpus by construction, so the
+    # ANN output provably equals exact brute-force top-k — same oracle SQL
+    # as emb_topk.
+    "emb_topk_ann": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+    "emb_ivf_ann": """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
     "media_decode": f"""
 SELECT media_id, true_format AS format, true_width AS width,
        true_height AS height, octet_length(data) AS n_bytes
@@ -793,7 +992,4 @@ SELECT media_id, true_format AS format, true_width AS width,
          AS bytes_per_pixel
 FROM read_parquet('{FIXTURE_ROOT}/media_small/media.parquet')
 """,
-    # files_pipeline, emb_topk_ann, emb_ivf_ann: intentionally no oracle —
-    # non-SQL-expressible (InDel kernel / probabilistic top-k ANN recall);
-    # covered by pytest recall gates instead.
 }

@@ -250,8 +250,55 @@ def wratio(s1: str, s2: str, *, score_cutoff: float = 0) -> float:
     return _apply_cutoff(end_ratio, score_cutoff)
 
 
+# Above this many characters per side the pure-Python two-row DP switches
+# to the vectorized numpy row recurrence (same exact result; the crossover
+# is where numpy's per-row call overhead amortizes).
+_LEV_NUMPY_MIN = 64
+
+
+def _levenshtein_distance_np(s1: str, s2: str) -> int:
+    """Vectorized two-row Levenshtein DP (exact, strings only).
+
+    Per DP row the delete/substitute candidates are plain elementwise
+    minima; the left-to-right insert dependency ``cur[j] = min(cand[j],
+    cur[j-1]+1)`` unrolls to ``cur[j] = j + min_{i<=j}(cand[i] - i)``,
+    i.e. one ``np.minimum.accumulate`` — so a row costs O(n) vector ops
+    instead of O(n) Python-interpreted steps. ~100x faster on multi-KB
+    source files, which is what makes a plain-Levenshtein verify kernel
+    viable without the token-level fallback the InDel kernel needs.
+    """
+    import numpy as np
+
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    if not s2:
+        return len(s1)
+    a = np.frombuffer(s1.encode("utf-32-le"), dtype=np.uint32)
+    b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    n = len(b)
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    prev = np.arange(n + 1, dtype=np.int64)
+    for i, c in enumerate(a, 1):
+        cand = np.minimum(prev[1:] + 1, prev[:-1] + (b != c))
+        cur = np.empty(n + 1, dtype=np.int64)
+        cur[0] = i
+        np.minimum.accumulate(
+            np.concatenate(([np.int64(i)], cand - idx)), out=cur
+        )
+        cur[1:] = cur[1:] + idx
+        prev = cur
+    return int(prev[-1])
+
+
 def levenshtein_distance(s1: Sequence, s2: Sequence) -> int:
-    """Unit-cost Levenshtein distance (two-row DP)."""
+    """Unit-cost Levenshtein distance (two-row DP; numpy rows for long
+    strings — bit-identical results, see :func:`_levenshtein_distance_np`)."""
+    if (
+        isinstance(s1, str)
+        and isinstance(s2, str)
+        and min(len(s1), len(s2)) >= _LEV_NUMPY_MIN
+    ):
+        return _levenshtein_distance_np(s1, s2)
     if len(s1) < len(s2):
         s1, s2 = s2, s1
     if not s2:

@@ -86,7 +86,7 @@ class IncrementalDedup:
         verified = verify_pairs(
             touching, corpus,
             min_r2=min_r2, jaccard_min=cfg.jaccard_min,
-            jaccard_floor=cfg.jaccard_floor,
+            jaccard_floor=cfg.jaccard_floor, ratio_func=cfg.ratio_func,
         )
         # Materialize `verified` BEFORE appending the batch signatures:
         # `corpus` lazily reads sig_path, so appending first double-counts
