@@ -240,7 +240,18 @@ def with_shingles_and_fingerprints(
         .withColumns(
             {
                 "shingles": F.col("_sig.shingles"),
-                "fingerprints": F.col("_sig.fingerprints"),
+                # provenance metadata rides the column (and survives the
+                # parquet checkpoint round-trip in the Spark schema footer)
+                # so downstream consumers can verify the winnowing params
+                # instead of trusting the column name — see
+                # operators.substring.substring_candidates
+                "fingerprints": F.col("_sig.fingerprints").alias(
+                    "fingerprints",
+                    metadata={
+                        "fp_k": fp_k, "fp_w": fp_w,
+                        "fp_min_bytes": fp_min_bytes,
+                    },
+                ),
                 "n_shingles": F.size("_sig.shingles"),
             }
         )

@@ -19,6 +19,7 @@ conflict resolution:
 from __future__ import annotations
 
 import json
+import re
 from collections import Counter
 from dataclasses import dataclass, field
 from functools import lru_cache
@@ -80,13 +81,23 @@ MATCH_SCHEMA = ArrayType(
 # Fuzzy ratio functions for which the character-multiset screen below is a
 # PROVEN upper bound (the pattern string enters the comparison verbatim and
 # the denominator includes len(pattern), so ratio <= 200 * |multiset ∩| /
-# len(pattern)). Excluded: token_set/token/weighted (dedup can shorten the
-# pattern side) and partial (it compares the SHORTER side against slices of
-# the longer — when a window is shorter than the pattern the denominator is
+# len(pattern)). token_sort is screenable too — sorting is a permutation,
+# so the compared pattern string sorted_join(p) has a FIXED multiset; the
+# two whitespace wrinkles are handled explicitly: (1) the pattern side is
+# measured on its sorted-join form (collapsing runs of whitespace can only
+# SHORTEN it, so len(p) would over-divide and break the bound — we use
+# len(sorted_join(p)) instead); (2) the window side's sorted-join turns
+# every inter-token gap into one ' ', so the doc multiset is counted with
+# all whitespace folded to ' ' (#tokens-1 <= #whitespace chars, hence
+# folded doc counts still dominate the compared string's counts).
+# Excluded: token_set/token/weighted (dedup can shorten the pattern side)
+# and partial (it compares the SHORTER side against slices of the longer —
+# when a window is shorter than the pattern the denominator is
 # 2*len(window), not len(pattern)+len(window), and the bound is invalid;
 # e.g. pattern "acetaminophen" vs doc "ace" scores partial 100 while the
 # doc-level bound would prune it).
-_SCREENABLE_FUNCS = {"simple", "quick", "levenshtein"}
+_SCREENABLE_FUNCS = {"simple", "quick", "levenshtein", "token_sort"}
+_WS_RE = re.compile(r"\s")
 
 
 @lru_cache(maxsize=4096)
@@ -96,8 +107,12 @@ def _pattern_doc(pattern: str):
 
 
 @lru_cache(maxsize=4096)
-def _pattern_counter(pattern: str, lower: bool) -> tuple[Counter, int]:
+def _pattern_counter(
+    pattern: str, lower: bool, sort_tokens: bool = False
+) -> tuple[Counter, int]:
     s = pattern.lower() if lower else pattern
+    if sort_tokens:
+        s = " ".join(sorted(s.split()))
     return Counter(s), len(s)
 
 
@@ -123,7 +138,7 @@ def _run_patterns(
     if not text:
         return []
     doc = tokenize(text)
-    doc_counters: dict[bool, Counter] = {}
+    doc_counters: dict[tuple[bool, bool], Counter] = {}
     out = []
     seen = set()
     for p in patterns:
@@ -142,10 +157,17 @@ def _run_patterns(
             func = p.kwargs.get("fuzzy_func", "simple")
             if gate > 0 and func in _SCREENABLE_FUNCS:
                 ic = p.kwargs.get("ignore_case", True)
-                if ic not in doc_counters:
-                    doc_counters[ic] = Counter(text.lower() if ic else text)
-                pc, plen = _pattern_counter(p.pattern, ic)
-                dc = doc_counters[ic]
+                sort_tokens = func == "token_sort"
+                ckey = (ic, sort_tokens)
+                if ckey not in doc_counters:
+                    s = text.lower() if ic else text
+                    if sort_tokens:
+                        # fold all whitespace to ' ' so the counts dominate
+                        # any window's sorted-join form (see _SCREENABLE_FUNCS)
+                        s = _WS_RE.sub(" ", s)
+                    doc_counters[ckey] = Counter(s)
+                pc, plen = _pattern_counter(p.pattern, ic, sort_tokens)
+                dc = doc_counters[ckey]
                 inter = sum(min(n, dc.get(ch, 0)) for ch, n in pc.items())
                 if plen and 200 * inter < gate * plen:
                     continue

@@ -96,9 +96,36 @@ def substring_candidates(
     ``functions.signatures.with_shingles_and_fingerprints``), this stage is
     pure JVM: explode + bucket joins, no Arrow pass over content at all.
     Short docs have empty precomputed arrays, so the explode reproduces the
-    ``min_bytes`` filter exactly.
+    ``min_bytes`` filter exactly. The fused stage stamps its winnowing
+    parameters into the column's metadata (which survives parquet
+    checkpoints); the fast path verifies them against the requested
+    (k, w, min_bytes) and raises on mismatch — a column merely *named*
+    ``fingerprints`` but computed with different winnowing would silently
+    yield wrong candidate pairs otherwise. Columns without metadata
+    (hand-built inputs) get a warning instead of a hard failure.
     """
     if "fingerprints" in corpus.columns:
+        meta = corpus.schema["fingerprints"].metadata or {}
+        have = tuple(
+            meta.get(key) for key in ("fp_k", "fp_w", "fp_min_bytes")
+        )
+        if all(v is not None for v in have):
+            if tuple(int(v) for v in have) != (k, w, min_bytes):
+                raise ValueError(
+                    f"precomputed fingerprints were winnowed with "
+                    f"(k, w, min_bytes)={tuple(int(v) for v in have)} but "
+                    f"this stage was asked for {(k, w, min_bytes)}; "
+                    f"recompute the signatures or align the config"
+                )
+        else:
+            import warnings
+
+            warnings.warn(
+                "fingerprints column carries no winnowing-parameter "
+                f"metadata; trusting it matches (k={k}, w={w}, "
+                f"min_bytes={min_bytes})",
+                stacklevel=2,
+            )
         buckets = corpus.select(
             "file_id", F.explode("fingerprints").alias("bucket_key")
         )

@@ -22,6 +22,7 @@ fan-out lives in ``spaczz_spark.operators.matcher``.
 
 from __future__ import annotations
 
+import re
 import warnings
 
 import numpy as np
@@ -122,9 +123,17 @@ def check_ratios(
 # 200*LCS/(len_q+len_w) and LCS chars are common chars, so
 # score <= 200*I/(len_q+len_w); for the integer levenshtein ratio,
 # d >= m - I gives ratio <= (200*I + m) // (2*m) with m = max(len_q, len_w).
-# partial/token_* variants change which strings enter the comparison and are
-# NOT screenable (same analysis as operators.matcher._SCREENABLE_FUNCS).
-_WINDOW_SCREENABLE = {"simple", "quick", "levenshtein"}
+# token_sort is screenable because sorting is a permutation: the compared
+# strings are sorted_join(q) (fixed multiset, measured directly) and
+# sorted_join(w), whose per-char counts are dominated by the window's
+# counts with all whitespace folded to ' ' (non-ws chars pass through
+# unchanged; #tokens-1 joiner spaces <= #whitespace chars in the window);
+# len(sorted_join(w)) >= window_len - window_ws gives the denominator
+# lower bound. partial/token_set/token/weighted change which strings enter
+# the comparison in window-dependent ways and are NOT screenable (same
+# analysis as operators.matcher._SCREENABLE_FUNCS).
+_WINDOW_SCREENABLE = {"simple", "quick", "levenshtein", "token_sort"}
+_WS_RE = re.compile(r"\s")
 # Below this many windows the numpy setup costs more than it saves.
 _MIN_WINDOWS_TO_SCREEN = 8
 
@@ -143,6 +152,12 @@ def _screen_window_starts(
     array lookups; the InDel/Levenshtein kernel then runs only on survivors.
     """
     q = qtext.lower() if ignore_case else qtext
+    sort_tokens = fuzzy_func == "token_sort"
+    if sort_tokens:
+        # the kernel compares sorted_join forms; measure the query on its
+        # compared form (whitespace runs collapse, so len(q) would be too
+        # big a denominator and the bound would over-prune)
+        q = " ".join(sorted(q.split()))
     lq = len(q)
     if not lq:
         return None
@@ -154,11 +169,18 @@ def _screen_window_starts(
             # token spans no longer index the lowered text — skip screening.
             return None
         text = lowered
+    if sort_tokens:
+        # fold every whitespace char to ' ' (length-preserving, so token
+        # spans still index correctly): the window's folded counts dominate
+        # sorted_join(window)'s counts per char
+        text = _WS_RE.sub(" ", text)
     # query alphabet + query char counts
     alpha: dict[str, int] = {}
     for ch in q:
         if ch not in alpha:
             alpha[ch] = len(alpha)
+    if sort_tokens and " " not in alpha:
+        alpha[" "] = len(alpha)  # need the window ws count for the bound
     qc = np.zeros(len(alpha), dtype=np.int64)
     for ch in q:
         qc[alpha[ch]] += 1
@@ -179,10 +201,16 @@ def _screen_window_starts(
     ws = tok_starts[: n_tok - query_len + 1]
     we = tok_ends[query_len - 1:]
     wlen = we - ws
-    inter = np.minimum(cum[we] - cum[ws], qc[None, :]).sum(axis=1)
+    counts = cum[we] - cum[ws]
+    inter = np.minimum(counts, qc[None, :]).sum(axis=1)
     if fuzzy_func == "levenshtein":
         m = np.maximum(wlen, lq)
         keep = (200 * inter + m) // (2 * m) >= gate
+    elif sort_tokens:
+        # score = 200*LCS(sq, sw) / (lq + len(sw)); LCS <= I (folded window
+        # counts dominate sw's), and len(sw) >= wlen - window_ws_count
+        w_ws = counts[:, alpha[" "]]
+        keep = 200 * inter >= gate * (lq + wlen - w_ws)
     else:
         # float score >= gate  requires  200*I >= gate*(lq+lw) exactly
         # (both sides integer-valued up to the exact rational comparison)

@@ -163,6 +163,12 @@ def test_matcher_prefilter_is_lossless():
         ("acetaminophen", {"min_r": 75, "fuzzy_func": "partial"}),
         ("anderson", {"min_r": 90, "min_r1": 30}),
         ("zzz", {"min_r": 75, "fuzzy_func": "levenshtein", "flex": 0}),
+        # token_sort (round-4): sorting is a permutation so the multiset
+        # bound holds — measured on the sorted-join form. The double space
+        # in the pattern exercises the whitespace-collapse length fix
+        # (len("andersen  grant")=15 but the compared string has 14 chars).
+        ("andersen  grant", {"min_r": 75, "fuzzy_func": "token_sort"}),
+        ("big data", {"min_r": 60, "fuzzy_func": "token_sort"}),
     ]
     patterns = [Pattern(f"P{i}", q, "fuzzy", kw)
                 for i, (q, kw) in enumerate(pattern_specs)]
@@ -209,12 +215,19 @@ def test_scan_window_screen_is_lossless():
     rng = random.Random(31)
     vocab = ["table", "tabel", "grant", "grunt", "ab", "a", "xy",
              "İstanbul", "zzz", "data", "custmer", "customer"]
-    queries = ["grant", "custmer", "ab xy", "İstanbul", "tabel zzz"]
-    for trial in range(200):
+    queries = ["grant", "custmer", "ab xy", "İstanbul", "tabel zzz",
+               "data  grant"]
+    # mixed separators stress the token_sort whitespace folding (the
+    # window's sorted-join replaces every gap with one ' ')
+    seps = [" ", "  ", "\n", "\t", " \n "]
+    for trial in range(260):
         n = rng.randint(_MIN_WINDOWS_TO_SCREEN, 40)
-        text = " ".join(rng.choice(vocab) for _ in range(n))
+        words = [rng.choice(vocab) for _ in range(n)]
+        text = words[0] + "".join(
+            rng.choice(seps) + w for w in words[1:]
+        )
         q = rng.choice(queries)
-        func = rng.choice(["simple", "quick", "levenshtein"])
+        func = rng.choice(["simple", "quick", "levenshtein", "token_sort"])
         gate = rng.choice([1, 40, 50, 67, 75, 80, 100])
         ic = rng.random() < 0.7
         doc, query = tokenize(text), tokenize(q)

@@ -253,3 +253,48 @@ def test_inplace_rewrite_invalidates_resume(spark, tmp_path_factory):
     pipe2 = DedupPipeline(spark, cfg, root)
     pipe2.run(spark.read.parquet(p))
     assert not any(k.endswith("_resumed") for k in pipe2.metrics), pipe2.metrics
+
+
+def test_substring_candidates_fingerprint_metadata_guard(spark):
+    """Round-4 advice: the precomputed-fingerprints fast path must verify
+    the winnowing parameters stamped in the column metadata (mismatch ->
+    ValueError) and warn when the column carries no provenance at all."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from spaczz_spark.functions.signatures import (
+        normalize,
+        with_shingles_and_fingerprints,
+    )
+    from spaczz_spark.operators.substring import substring_candidates
+
+    files = spark.createDataFrame(
+        [("r", "p", "c", "py", "token stream " * 20)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    sig = with_shingles_and_fingerprints(normalize(files), 3, 32, 32, 100)
+    assert sig.schema["fingerprints"].metadata == {
+        "fp_k": 32, "fp_w": 32, "fp_min_bytes": 100,
+    }
+    # matching params: fast path accepted silently
+    substring_candidates(sig, k=32, w=32, min_bytes=100)
+    # mismatched params: hard failure instead of silently-wrong candidates
+    with pytest.raises(ValueError, match="winnowed with"):
+        substring_candidates(sig, k=16, w=32, min_bytes=100)
+    # metadata survives a parquet checkpoint round-trip
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spaczz_fpmeta_")
+    sig.write.mode("overwrite").parquet(d + "/sig")
+    back = spark.read.parquet(d + "/sig")
+    with pytest.raises(ValueError, match="winnowed with"):
+        substring_candidates(back, k=32, w=16, min_bytes=100)
+    # a bare column of the right name (no metadata) only warns
+    stripped = back.drop("fingerprints").withColumn(
+        "fingerprints", F.array().cast("array<long>")
+    )
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        substring_candidates(stripped, k=32, w=32, min_bytes=100)
+    assert any("metadata" in str(w.message) for w in wlist)

@@ -114,3 +114,36 @@ def test_similarity_compare_bounds(doc_text, query):
     r = similarity_compare(doc_text, query, lexicon)
     assert -100 <= r <= 100
     assert similarity_compare(doc_text, query, {}) == 0
+
+
+@given(
+    st.text(alphabet="abc \n\tx", min_size=0, max_size=200),
+    st.text(alphabet="abc \n\tx", min_size=0, max_size=200),
+)
+@settings(max_examples=150, deadline=None)
+def test_numpy_levenshtein_matches_pure_python(s1, s2):
+    """Round-4: the vectorized numpy row DP must be bit-identical to the
+    pure-Python two-row DP on both sides of the length crossover."""
+    from spaczz_spark.ratios import (
+        _levenshtein_distance_np,
+        levenshtein_distance,
+    )
+
+    def pure(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, c1 in enumerate(a, 1):
+            cur = [i]
+            for j, c2 in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = pure(s1, s2)
+    assert levenshtein_distance(s1, s2) == want
+    assert _levenshtein_distance_np(s1, s2) == want

@@ -208,3 +208,60 @@ def test_token_and_span_provenance(spark):
     assert doc_rows[1]["spaczz_doc"] is True
     assert doc_rows[1]["spaczz_types"] == ["fuzzy"]
     assert doc_rows[2]["spaczz_doc"] is False and doc_rows[2]["spaczz_types"] == []
+
+
+def test_resolve_matches_parity_with_fused_ruler(spark):
+    """Round-4 advice: the standalone bucketed `resolve_matches` operator
+    (public API for externally-supplied match tables) must reproduce the
+    fused `ruler()` resolution exactly — including docs with zero matches,
+    overlapping cross-label spans, and a single doc spread across many
+    hash buckets (n_buckets >> docs)."""
+    from spaczz_spark.operators.matcher import (
+        Pattern,
+        match_patterns,
+        resolve_matches,
+        ruler,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "grint anderson works at acme corp."),
+            (2, "nothing to see"),
+            (3, "acme corp acme corp grant andersen big table"),
+            (4, ""),
+            (5, "grant andersen grant anderson grint andersen"),
+        ],
+        ["doc_id", "text"],
+    )
+    pats = [
+        Pattern("NAME", "grant andersen", "fuzzy", {"min_r": 75}),
+        Pattern("ORG", "acme corp", "fuzzy", {"min_r": 85}),
+        # overlaps NAME on doc 3/5 -> greedy non-overlap must arbitrate
+        Pattern("PERSON", "andersen", "fuzzy", {"min_r": 75}),
+        Pattern("BIGTABLE", "big table", "regex", {}),
+    ]
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["label"], r["start"], r["end"], r["ratio"],
+             r["pattern"], r["type"], r["ent_id"])
+            for r in df.collect()
+        )
+
+    fused = rows(ruler(docs, pats))
+    raw = match_patterns(docs, pats)
+    standalone = rows(resolve_matches(raw))
+    assert standalone == fused and len(fused) > 0
+    # single-doc-many-buckets: every match of doc 3 hashes to ONE bucket,
+    # but n_buckets larger than the corpus must not duplicate or drop rows
+    one_doc = docs.where("doc_id = 3")
+    assert rows(resolve_matches(match_patterns(one_doc, pats),
+                                n_buckets=1024)) == rows(ruler(one_doc, pats))
+    # empty match table resolves to an empty table with the right schema
+    empty = match_patterns(docs.where("doc_id = 2"), pats)
+    resolved_empty = resolve_matches(empty)
+    assert resolved_empty.count() == 0
+    assert [f.name for f in resolved_empty.schema.fields] == [
+        "doc_id", "label", "start", "end", "ratio", "pattern", "type",
+        "ent_id",
+    ]
