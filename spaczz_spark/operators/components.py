@@ -11,7 +11,11 @@ propagation — does not depend on graph diameter.
 Every iteration:
 - ``localCheckpoint()`` truncates lineage (plans otherwise grow
   exponentially across iterations), matching the per-iteration Iceberg
-  checkpoint the production path would commit.
+  checkpoint the production path would commit. (Measured round 4: the
+  persist-instead-of-checkpoint alternative for small edge sets is ~7x
+  SLOWER — without lineage truncation each iteration re-analyzes a
+  growing plan and the observe() wrapper defeats cache reuse — so
+  localCheckpoint stays at every size.)
 - convergence is detected by an order-insensitive edge-set checksum
   (count + sum of pair hashes) — cheap aggregations, no exceptAll shuffle.
 
@@ -28,7 +32,14 @@ __all__ = ["connected_components", "attach_components"]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every larger neighbor of u to u's minimum neighborhood label."""
+    """Connect every larger neighbor of u to u's minimum neighborhood label.
+
+    Tolerates (and may emit) duplicate edge rows: the groupBy/min is
+    multiplicity-insensitive and :func:`_small_star`'s trailing
+    ``distinct`` dedupes each full iteration — dropping the intermediate
+    distinct here removes one shuffle per iteration, which matters because
+    small-corpus CC cost is pure per-job orchestration (see
+    ``connected_components``)."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -39,7 +50,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -91,11 +101,17 @@ def connected_components(
     """
     import time
 
-    edges, prev = _checkpoint_with_checksum(
-        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    # No up-front checkpoint/distinct job on the input: _large_star is
+    # multiplicity-insensitive and iteration 1's trailing distinct dedupes,
+    # so the raw pair selection feeds straight into the first iteration.
+    # (Cost: an already-star-shaped input takes one extra iteration to
+    # detect convergence — but every run saves one full Spark job, and at
+    # small corpus sizes per-job orchestration IS the stage cost: measured
+    # ~1-1.5s/job against 31k edges where local[1] == local[4] wall.)
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    prev: tuple[int, int] | None = None
     iterations = 0
     walls: list[float] = []
     for _ in range(max_iter):

@@ -71,10 +71,21 @@ def make_edit_ratio_udf(min_r: int = 0, func: str = "indel"):
                     out.append(0)
                     continue
                 r = levenshtein_ratio(s1, s2, score_cutoff=min_r)
-            elif max(len(s1), len(s2)) > CHAR_KERNEL_MAX:
-                r = indel_ratio(s1.split(), s2.split(), score_cutoff=min_r)
             else:
-                r = indel_ratio(s1, s2, score_cutoff=min_r)
+                if max(len(s1), len(s2)) > CHAR_KERNEL_MAX:
+                    t1, t2 = s1.split(), s2.split()
+                else:
+                    t1, t2 = s1, s2
+                # provable O(1) skip: LCS <= min(l1, l2), so
+                # ratio = 200*LCS/(l1+l2) <= 200*min/(l1+l2); pairs with a
+                # big length disparity (substring-family candidates in the
+                # jaccard band) can never reach the cutoff — don't run the
+                # O(len^2/64) kernel on them
+                l1, l2 = len(t1), len(t2)
+                if min_r and 200 * min(l1, l2) < min_r * (l1 + l2):
+                    out.append(0)
+                    continue
+                r = indel_ratio(t1, t2, score_cutoff=min_r)
             out.append(round(r))
         return pd.Series(out, dtype="int32")
 
@@ -118,7 +129,10 @@ def verify_pairs(
     Returns (a_id, b_id, stage, jaccard, edit_ratio, verified_by) where
     verified_by in ('sha', 'jaccard', 'edit_ratio').
 
-    ``corpus`` must carry (file_id, content, content_sha256, shingles).
+    ``corpus`` must carry (file_id, content, content_sha256, shingles,
+    n_shingles) — the shingle arrays must be distinct-element (the
+    signature UDFs guarantee this), which is what lets the union size be
+    computed arithmetically instead of via a second hash-set pass.
 
     Two-phase plan (the verify join is the pipeline's widest shuffle, and
     its scaling is bounded by bytes-in-flight, not CPU):
@@ -135,18 +149,27 @@ def verify_pairs(
        a small fraction of candidates, so the wide payload and the Python
        boundary both shrink by that factor.
     """
-    slim = attach_pair_sides(pairs, corpus, ["content_sha256", "shingles"])
+    slim = attach_pair_sides(
+        pairs, corpus, ["content_sha256", "n_shingles", "shingles"]
+    )
 
     sha_eq = F.col("a_content_sha256") == F.col("b_content_sha256")
-    union_sz = F.size(F.array_union("a_shingles", "b_shingles"))
+    # The shingle arrays are DISTINCT by construction (np.unique in the
+    # signature UDF), so |A ∪ B| = |A| + |B| - |A ∩ B| in plain integer
+    # arithmetic — ONE hash-set pass per pair instead of three
+    # (array_union is itself a hash build, and the branched expression
+    # evaluated it twice). Same exact ints -> bit-identical jaccard
+    # doubles, but the slim phase's dominant boxing/allocation cost halves
+    # (measured 30s -> 16s at local[1] on the 140k-row profile corpus).
+    inter_sz = F.size(F.array_intersect("a_shingles", "b_shingles"))
+    union_sz = F.col("a_n_shingles") + F.col("b_n_shingles") - F.col("isz")
     scored = (
-        slim.withColumn(
+        slim.withColumn("isz", inter_sz)
+        .withColumn(
             "jaccard",
             F.when(sha_eq, F.lit(1.0))
             .when(union_sz == 0, F.lit(0.0))
-            .otherwise(
-                F.size(F.array_intersect("a_shingles", "b_shingles")) / union_sz
-            ),
+            .otherwise(F.col("isz") / union_sz),
         )
         .withColumn("sha_eq", sha_eq)
         .withColumn(
@@ -184,6 +207,14 @@ def verify_pairs(
         corpus,
         ["content"],
     )
+    # The content join leaves the band partitioned by its join key, so
+    # pairs sharing one big host file pile into the same partition — and
+    # per-pair kernel cost varies ~quadratically with length, so that one
+    # partition becomes the straggler that caps the stage's core scaling.
+    # A round-robin repartition spreads the heavy pairs evenly; the shuffle
+    # moves only the band subset (a small fraction of candidates).
+    sc = band.sparkSession.sparkContext
+    band = band.repartition(sc.defaultParallelism * 4)
     kernel_kept = (
         band.withColumn("edit_ratio", edit_udf("a_content", "b_content"))
         .where(F.col("edit_ratio") >= min_r2)

@@ -122,13 +122,19 @@ def generate_corpus(
     n_files: int = 500,
     seed: int = 42,
     boilerplate_cluster: int = 0,
+    near_family: int = 0,
 ) -> CorpusBundle:
     """Generate a corpus of ``n_files`` base files plus planted duplicates.
 
     Roughly: 60% unique negatives, and 40% of base files get one or more
     planted duplicates across the duplicate kinds. ``boilerplate_cluster``
     additionally plants one exact-dup cluster of that size (hot-LSH-bucket /
-    skew exercise).
+    skew exercise — defeated by the exact collapse). ``near_family``
+    additionally plants one cluster of that many near-identical but
+    pairwise-DISTINCT files (shared body + one unique trailing token each):
+    the adversarial case the exact collapse canNOT remove — every member
+    lands in the same LSH band buckets, so candidate enumeration must
+    survive a bucket of this size via the salted / star tiers.
     """
     rng = random.Random(seed)
     rows: list[dict] = []
@@ -193,6 +199,23 @@ def generate_corpus(
             else:
                 pair_rows.append(
                     {"a_key": first_key, "b_key": k, "kind": "boilerplate"}
+                )
+                comp_edges.append((first_key, k))
+
+    if near_family > 1:
+        # shared body long enough that one extra token keeps Jaccard >> 0.7
+        family_body = _gen_content(rng, "python", n_blocks=8)
+        first_key = None
+        for j in range(near_family):
+            k = add_file(
+                pick_repo(), f"generated/variant_{j}.py", "python",
+                f"{family_body}\nvariant_token_{j}",
+            )
+            if first_key is None:
+                first_key = k
+            else:
+                pair_rows.append(
+                    {"a_key": first_key, "b_key": k, "kind": "near_family"}
                 )
                 comp_edges.append((first_key, k))
 
