@@ -101,17 +101,19 @@ def connected_components(
     """
     import time
 
-    # No up-front checkpoint/distinct job on the input: _large_star is
-    # multiplicity-insensitive and iteration 1's trailing distinct dedupes,
-    # so the raw pair selection feeds straight into the first iteration.
-    # (Cost: an already-star-shaped input takes one extra iteration to
-    # detect convergence — but every run saves one full Spark job, and at
-    # small corpus sizes per-job orchestration IS the stage cost: measured
-    # ~1-1.5s/job against 31k edges where local[1] == local[4] wall.)
-    edges = pairs.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).where(F.col("u") != F.col("v"))
-    prev: tuple[int, int] | None = None
+    # The input IS materialized (checkpoint + checksum, one observe-fused
+    # job): _large_star references `edges` twice (sym = e ∪ swap(e)), so an
+    # unmaterialized input subtree — which in the pipeline includes the
+    # exact-collapse join over the whole normalized table — would
+    # re-evaluate per reference (measured +14s on the 280k scaling corpus
+    # when round 4 briefly dropped this). The input `.distinct()` IS
+    # dropped, though: _large_star is multiplicity-insensitive and
+    # iteration 1's trailing distinct dedupes, so the extra shuffle bought
+    # nothing.
+    edges, prev = _checkpoint_with_checksum(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
     iterations = 0
     walls: list[float] = []
     for _ in range(max_iter):
