@@ -89,16 +89,29 @@ def main() -> None:
     fixture = ensure_fixture("bench")
     files_path = os.path.join(fixture, "files.parquet")
 
+    # Round-4 lesson (adjudicated by an interleaved judge A/B): this host's
+    # wall times vary 2-3x run-to-run under neighbor load, and a
+    # single-shot-per-query bench manufactured a phantom 36% regression.
+    # Every number below is therefore min over SPARK_GRAFT_BENCH_REPEATS
+    # interleaved rounds (default 2; all walls kept in the JSON).
+    repeats_bench = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     results: dict[str, float] = {}
+    walls_all: dict[str, list[float]] = {}
     skip_headline = os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") == "1"
     spark = None
     if not skip_headline:
         spark = session(CPUS)
 
-        # headline: full dedup pipeline on the bench corpus
-        wall, n_files = run_pipeline(spark, files_path)
-        results["files_pipeline"] = round(wall, 3)
-        files_per_sec = n_files / wall
+        # headline: full dedup pipeline on the bench corpus (cold each
+        # repeat: fresh checkpoint dir, no resume)
+        headline_walls = []
+        for _ in range(repeats_bench):
+            wall, n_files = run_pipeline(spark, files_path)
+            headline_walls.append(wall)
+        best = min(headline_walls)
+        results["files_pipeline"] = round(best, 3)
+        walls_all["files_pipeline"] = [round(w, 3) for w in headline_walls]
+        files_per_sec = n_files / best
     else:
         n_files, files_per_sec = 0, 0.0
 
@@ -150,26 +163,37 @@ def main() -> None:
     ]
     if os.environ.get("SPARK_GRAFT_ORACLE_FIXTURES") == "1":
         bench_queries += ["emb_neardup", "emb_topk"]
-    for name in ([] if skip_headline else bench_queries):
-        fn = bench_impls.get(name, Q.QUERIES.get(name))
-        t0 = time.time()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception:
-            # noop sink unavailable or query error -> fall back to count
+    # interleaved rounds (full query sweep per round, then repeat) so a
+    # transient neighbor-load spike degrades one ROUND, not one QUERY —
+    # per-query min then compares like against like
+    for _round in range(0 if skip_headline else repeats_bench):
+        for name in bench_queries:
+            fn = bench_impls.get(name, Q.QUERIES.get(name))
+            t0 = time.time()
             try:
-                fn(spark, SF_DIR).count()
-            except Exception as e:  # pragma: no cover
-                results[name] = -1.0
-                print(f"bench query {name} failed: {e}", file=sys.stderr)
-                continue
-        results[name] = round(time.time() - t0, 3)
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception:
+                # noop sink unavailable or query error -> fall back to count
+                try:
+                    fn(spark, SF_DIR).count()
+                except Exception as e:  # pragma: no cover
+                    walls_all.setdefault(name, []).append(-1.0)
+                    print(f"bench query {name} failed: {e}", file=sys.stderr)
+                    continue
+            walls_all.setdefault(name, []).append(round(time.time() - t0, 3))
+    for name, walls in walls_all.items():
+        if name == "files_pipeline":
+            continue
+        ok = [w for w in walls if w >= 0]
+        results[name] = min(ok) if ok else -1.0
 
     out = {
         "metric": "files_per_sec_full_dedup_pipeline",
         "value": round(files_per_sec, 2),
         "unit": "files/sec",
         "queries": results,
+        "queries_walls_all": walls_all,
+        "bench_repeats": repeats_bench,
         "sf": SF_DIR,
         "bench_corpus_files": n_files,
         "cpus": CPUS,

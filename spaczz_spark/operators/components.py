@@ -126,15 +126,18 @@ def connected_components(
         prev = cur
     if metrics is not None:
         metrics["iteration_walls"] = walls
-    # Converged: every edge points node -> component min. A node that is a
-    # component root appears only on the v side.
+    # Converged: the checksum fixed point of small∘large star IS the star
+    # graph (Kiveris et al. Thm 4.1) — every edge is (member -> component
+    # min) with members and roots disjoint and one edge per member. Roots
+    # are therefore exactly distinct(v): one partial-agg distinct, replacing
+    # round 4's distinct(v) ⟕̸ distinct(u) anti-join + trailing
+    # union-distinct (3 extra jobs on a stage whose small-corpus cost is
+    # pure job count — round-5 ask #4).
     labels = edges.select(F.col("u").alias("file_id"), F.col("v").alias("component_id"))
-    roots = edges.select(F.col("v").alias("file_id")).distinct().join(
-        edges.select(F.col("u").alias("file_id")).distinct(),
-        "file_id",
-        "left_anti",
-    ).withColumn("component_id", F.col("file_id"))
-    return labels.unionByName(roots).distinct(), iterations
+    roots = edges.select(
+        F.col("v").alias("file_id"), F.col("v").alias("component_id")
+    ).distinct()
+    return labels.unionByName(roots), iterations
 
 
 def attach_components(files_ids: DataFrame, labels: DataFrame) -> DataFrame:

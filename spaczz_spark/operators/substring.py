@@ -27,10 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from ..ratios import indel_ratio as _indel_ratio
 from .lsh import pairs_from_buckets
-from .verify import attach_pair_sides
+from .verify import CHAR_KERNEL_MAX, attach_pair_sides
 
-__all__ = ["make_fingerprint_udf", "substring_candidates", "verify_substring_pairs"]
+__all__ = [
+    "make_fingerprint_udf",
+    "substring_candidates",
+    "verify_substring_pairs",
+    "anchored_partial_ratio",
+]
 
 _B = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
 
@@ -225,31 +231,138 @@ def containment_pairs(
     )
 
 
-def make_containment_udf(min_len: int = 100):
-    """pandas UDF: partial containment ratio of the shorter side in the longer.
+def anchored_partial_ratio(
+    short: str,
+    long_: str,
+    *,
+    k: int = 32,
+    max_anchors: int = 5,
+    score_cutoff: float = 0,
+) -> float:
+    """``partial_ratio`` of ``short`` vs ``long_`` restricted to
+    fingerprint-anchored windows — O(window), never the O(n·m) full sweep.
 
-    100 when the shorter content appears verbatim in the longer; otherwise the
-    byte-level longest-run heuristic is skipped and 0 is returned (candidates
-    that merely share one fingerprint but no real containment).
+    Reference semantics: ``fuzz.partial_ratio`` (best InDel ratio of the
+    shorter string against any same-length window of the longer; reference
+    ``registry/fuzzyfuncs.py:9``). The full sweep evaluates every window;
+    at corpus scale the candidates that reach this kernel already share a
+    winnowed k-gram fingerprint (``substring_candidates``), i.e. an *exact*
+    32-byte synchronization point between the two documents — so only the
+    window(s) implied by shared-gram positions can hold the best local
+    alignment of an embedded copy, and those are the only ones scored:
+
+    1. recompute the rolling k-gram hashes of both sides (vectorized
+       numpy, O(bytes) — required anyway to locate any carried anchor's
+       offset, which is why the candidate stage does NOT need to plumb the
+       matching fingerprint value through the pair table: recomputing here
+       finds *every* shared gram, strictly more alignment evidence than
+       one carried anchor);
+    2. every matched gram occurrence votes for window start
+       ``pos_long - pos_short``; the true embedding offset collects the
+       overwhelming majority of votes (all intact grams between edits),
+       with nearby starts from indel drift splitting the remainder;
+    3. score the ``max_anchors`` most-voted starts with the bit-parallel
+       InDel kernel over the byte window ``long[start : start+len(short)]``
+       (above ``CHAR_KERNEL_MAX`` bytes: token-level InDel on the same
+       window — the same documented bounded-cost fallback as
+       ``verify.make_edit_ratio_udf``).
+
+    A prefix with net indel drift ``d`` shifts the optimal window by ``d``,
+    which costs the anchored score at most ``200·d / (2·len(short))`` ratio
+    points vs the unrestricted sweep — negligible for the light-edit
+    embeddings this stage exists to catch (the planted-fixture recall gate
+    in tests/test_substring.py pins it empirically).
+
+    Scoring is over UTF-8 bytes (the hashes are byte k-grams, so byte
+    offsets are the only consistent window coordinates); for non-ASCII
+    content the normalization therefore counts bytes, not codepoints — a
+    documented, deterministic choice.
+    """
+    sb = short.encode("utf-8", "ignore")
+    lb = long_.encode("utf-8", "ignore")
+    if len(sb) > len(lb):
+        sb, lb = lb, sb
+    n = len(sb)
+    if n == 0:
+        return 0.0
+    hs = _kgram_hashes(sb, k)
+    hl = _kgram_hashes(lb, k)
+    uh, ui = np.unique(hs, return_index=True)  # first occurrence per gram
+    pl = np.nonzero(np.isin(hl, uh))[0]
+    if pl.size == 0:
+        return 0.0
+    j = np.searchsorted(uh, hl[pl])
+    starts = np.clip(pl - ui[j], 0, max(len(lb) - n, 0))
+    vals, counts = np.unique(starts, return_counts=True)
+    top = vals[np.argsort(-counts, kind="stable")[:max_anchors]]
+    best = 0.0
+    for s in top:
+        win = lb[int(s) : int(s) + n]
+        if n > CHAR_KERNEL_MAX:
+            sc = _indel_ratio(sb.split(), win.split())
+        else:
+            sc = _indel_ratio(sb, win)
+        if sc > best:
+            best = sc
+            if best >= 100.0:
+                break
+    return best if best >= score_cutoff else 0.0
+
+
+def make_containment_udf(
+    min_len: int = 100, min_partial: int | None = None, k: int = 32
+):
+    """pandas UDF: partial containment score of the shorter side in the longer.
+
+    Returns ``struct<score int, verbatim boolean>``:
+
+    - ``(100, true)`` when the shorter content appears verbatim in the
+      longer (exact containment fast path, Boyer-Moore ``in``);
+    - with ``min_partial`` set, edited near-containment is scored with
+      :func:`anchored_partial_ratio` (the reference's ``partial_ratio``
+      semantics, fingerprint-anchored so the alignment is O(window)) —
+      ``(round(score), false)`` when it reaches ``min_partial``;
+    - ``(0, false)`` otherwise (candidates that merely share one
+      fingerprint but hold no real containment, or pairs below
+      ``min_len``).
     """
 
-    @F.pandas_udf("int")
-    def containment(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
+    @F.pandas_udf("score int, verbatim boolean")
+    def containment(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        scores: list[int] = []
+        verbatim: list[bool] = []
         for s1, s2 in zip(a, b):
             if s1 is None or s2 is None:
-                out.append(0)
+                scores.append(0)
+                verbatim.append(False)
                 continue
             short, long_ = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
             if len(short) < min_len:
-                out.append(0)
+                scores.append(0)
+                verbatim.append(False)
             elif short in long_:
-                out.append(100)
+                scores.append(100)
+                verbatim.append(True)
+            elif min_partial is not None:
+                # rapidfuzz cutoff semantics at min_partial - 1: a raw
+                # (min_partial - 0.5) rounds UP to min_partial, so cutting
+                # at min_partial would wrongly zero it (same guard as the
+                # InDel kernel's min_r2 - 1 cutoff in verify_pairs)
+                sc = anchored_partial_ratio(
+                    short, long_, k=k, score_cutoff=max(min_partial - 1, 0)
+                )
+                scores.append(round(sc))
+                verbatim.append(False)
             else:
-                out.append(0)
-        return pd.Series(out, dtype="int32")
+                scores.append(0)
+                verbatim.append(False)
+        return pd.DataFrame({"score": scores, "verbatim": verbatim}).astype(
+            {"score": "int32", "verbatim": "bool"}
+        )
 
-    return containment
+    # single ArrowEvalPython per pair: without the marker the filter + the
+    # two projections below would each clone the kernel expression
+    return containment.asNondeterministic()
 
 
 def verify_substring_pairs(
@@ -257,21 +370,36 @@ def verify_substring_pairs(
     corpus: DataFrame,
     *,
     min_len: int = 100,
+    min_partial: int | None = None,
+    k: int = 32,
 ) -> DataFrame:
-    """Keep candidate pairs where one side is verbatim-contained in the other.
+    """Keep candidate pairs where one side is contained in the other.
+
+    With the default ``min_partial=None`` only *verbatim* containment
+    verifies (score 100, ``verified_by='containment'``). With
+    ``min_partial`` set (the production pipeline passes ``min_r2``),
+    candidates that fail exact containment are scored with the
+    fingerprint-anchored ``partial_ratio`` kernel — the reference's S2
+    semantics for a file pasted into a larger file *then lightly edited*
+    (reference ``registry/fuzzyfuncs.py:9``) — and kept at
+    ``score >= min_partial`` with ``verified_by='partial'``.
 
     Schema-aligned with verify.verify_pairs output.
     """
     joined = attach_pair_sides(pairs, corpus, ["content"])
-    udf = make_containment_udf(min_len)
+    udf = make_containment_udf(min_len, min_partial, k)
+    threshold = 100 if min_partial is None else min(min_partial, 100)
     return (
-        joined.withColumn("edit_ratio", udf("a_content", "b_content"))
-        .where(F.col("edit_ratio") >= 100)
-        .withColumns(
-            {
-                "jaccard": F.lit(None).cast("double"),
-                "verified_by": F.lit("containment"),
-            }
+        joined.withColumn("r", udf("a_content", "b_content"))
+        .where(F.col("r.score") >= threshold)
+        .select(
+            "a_id",
+            "b_id",
+            "stage",
+            F.lit(None).cast("double").alias("jaccard"),
+            F.col("r.score").alias("edit_ratio"),
+            F.when(F.col("r.verbatim"), F.lit("containment"))
+            .otherwise(F.lit("partial"))
+            .alias("verified_by"),
         )
-        .select("a_id", "b_id", "stage", "jaccard", "edit_ratio", "verified_by")
     )

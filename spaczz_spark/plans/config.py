@@ -48,6 +48,11 @@ class DedupConfig:
     substring_k: int = 32
     substring_w: int = 32
     substring_min_len: int = 100
+    # score edited near-containment (reference partial_ratio, S2) with the
+    # fingerprint-anchored InDel kernel at the min_r2 gate; False pins the
+    # containment stage to verbatim-only — the SQL-mirrorable subset the
+    # DuckDB oracle checks (partial alignment is not SQL-expressible)
+    substring_partial: bool = True
     # skew handling
     bucket_cap: int = 64
     # layout

@@ -262,7 +262,14 @@ class DedupPipeline:
                 ratio_func=cfg.ratio_func,
             )
             v2 = verify_substring_pairs(
-                sub_cand, signatures, min_len=cfg.substring_min_len
+                sub_cand,
+                signatures,
+                min_len=cfg.substring_min_len,
+                # S2 semantics: edited near-containment scores like the
+                # reference's partial_ratio, gated at min_r2; the
+                # oracle-exact config disables it (not SQL-expressible)
+                min_partial=min_r2 if cfg.substring_partial else None,
+                k=cfg.substring_k,
             )
             allv = v1.unionByName(v2)
             # best record per pair (reference M4: keep max-ratio entry per key)

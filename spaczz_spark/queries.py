@@ -581,7 +581,13 @@ def q_files_pipeline(spark, sf_dir):
     from .plans.pipeline import DedupPipeline
 
     f = _files(spark, sf_dir).drop("file_key")
-    cfg = DedupConfig(bands=128, rows=1, ratio_func="levenshtein")
+    # substring_partial=False: the oracle mirrors verbatim containment
+    # (strpos) only — the anchored partial_ratio path is not
+    # SQL-expressible and is pytest-gated instead (tests/test_substring.py
+    # recall gate on planted embedded-with-edits duplicates)
+    cfg = DedupConfig(
+        bands=128, rows=1, ratio_func="levenshtein", substring_partial=False
+    )
     pipe = DedupPipeline(
         spark, cfg, tempfile.mkdtemp(prefix="spaczz_entry_")
     )

@@ -102,6 +102,22 @@ def _edit_tokens(rng: random.Random, content: str, frac: float) -> str:
     return " ".join(t for t in toks if t)
 
 
+def _edit_tokens_spaced(rng: random.Random, content: str, every: int = 60) -> str:
+    """Rename every ``every``-th whitespace token (deterministic spacing).
+
+    Unlike :func:`_edit_tokens` (random edit positions), the fixed spacing
+    guarantees intact runs of ``every - 1`` tokens (hundreds of bytes)
+    between consecutive edits — which is what makes the winnowed-fingerprint
+    recall of an *edited* embedded copy provable (any shared verbatim run
+    >= w + k - 1 bytes shares a selected fingerprint), so the
+    embedded-with-edits recall gate is deterministic, not probabilistic.
+    """
+    toks = content.split(" ")
+    for i in range(every // 2, len(toks), every):
+        toks[i] = _ident(rng)
+    return " ".join(toks)
+
+
 def _shuffle_blocks(rng: random.Random, content: str) -> str:
     blocks = content.split("\n\n")
     rng.shuffle(blocks)
@@ -123,6 +139,7 @@ def generate_corpus(
     seed: int = 42,
     boilerplate_cluster: int = 0,
     near_family: int = 0,
+    substring_edited: int = 0,
 ) -> CorpusBundle:
     """Generate a corpus of ``n_files`` base files plus planted duplicates.
 
@@ -135,6 +152,10 @@ def generate_corpus(
     the adversarial case the exact collapse canNOT remove — every member
     lands in the same LSH band buckets, so candidate enumeration must
     survive a bucket of this size via the salted / star tiers.
+    ``substring_edited`` plants that many embedded-with-edits pairs (a base
+    file pasted into a larger host, then lightly edited with deterministic
+    spacing) — the S2 partial_ratio recall exercise; opt-in so existing
+    committed fixtures stay byte-identical.
     """
     rng = random.Random(seed)
     rows: list[dict] = []
@@ -201,6 +222,35 @@ def generate_corpus(
                     {"a_key": first_key, "b_key": k, "kind": "boilerplate"}
                 )
                 comp_edges.append((first_key, k))
+
+    if substring_edited > 0:
+        # embedded-with-k-edits plants (reference partial_ratio blind spot:
+        # A pasted inside a much larger B, then lightly edited — verbatim
+        # containment fails, shingle Jaccard is diluted to ~|A|/|B|; only
+        # the anchored partial_ratio path of the substring stage can verify
+        # these). Edits are deterministically spaced (_edit_tokens_spaced)
+        # so winnowed-fingerprint candidate recall is guaranteed, making
+        # the tests' >= 0.99 recall gate exact rather than probabilistic.
+        for j in range(substring_edited):
+            lang = rng.choice(_LANGS)
+            base = _gen_content(rng, lang, n_blocks=rng.randint(5, 8))
+            base_key = add_file(
+                pick_repo(), f"src/embedded/base_{j}.{lang[:2]}", lang, base
+            )
+            edited = _edit_tokens_spaced(rng, base, every=60)
+            host = _gen_content(rng, lang, n_blocks=rng.randint(15, 30))
+            blocks = host.split("\n\n")
+            blocks.insert(rng.randint(0, len(blocks)), edited)
+            host_key = add_file(
+                pick_repo(),
+                f"vendor/embedded_copy_{j}.{lang[:2]}",
+                lang,
+                "\n\n".join(blocks),
+            )
+            pair_rows.append(
+                {"a_key": base_key, "b_key": host_key, "kind": "substring_edited"}
+            )
+            comp_edges.append((base_key, host_key))
 
     if near_family > 1:
         # shared body long enough that one extra token keeps Jaccard >> 0.7
