@@ -25,6 +25,11 @@ SPECS = {
     # ~30-40s orchestration constant is <7% of the local[2] wall)
     "scale": (100000, 500),
     "scale2": (200000, 500),
+    # verify-floor evidence (round-5 ask #3): big enough that the verify
+    # stage's per-job orchestration constant (~15-20 s) is a single-digit
+    # percent of its local[1] wall, so the (1,4) stage ratio reflects
+    # compute, not job setup
+    "scale4": (400000, 500),
 }
 
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -34,6 +39,27 @@ ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def make(name: str) -> None:
     n, boiler = SPECS[name]
     bundle = generate_corpus(n_files=n, seed=42, boilerplate_cluster=boiler)
+    # Oracle preconditions (ADVICE r4): the DuckDB mirrors of the verify
+    # stage are exact only when
+    #   (a) no file has < 3 whitespace tokens — a zero-shingle doc shares
+    #       the sentinel MinHash with every other zero-shingle doc and its
+    #       pairs route into the kernel band engine-side, while the
+    #       oracle's jac CTE (>= 1 shared shingle) can never see them;
+    #   (b) no file exceeds LEV_CHAR_KERNEL_MAX chars — above it the
+    #       levenshtein kernel switches to token-level (bounded cost) which
+    #       DuckDB's char-level levenshtein() does not mirror.
+    # Committed fixtures satisfy both (files_small: min 57 tokens, max
+    # 13,070 chars); regenerating with content params that break either
+    # must fail loudly here, not as an oracle hash mismatch.
+    from spaczz_spark.operators.verify import LEV_CHAR_KERNEL_MAX
+
+    n_toks = bundle.files["content"].str.split().str.len()
+    assert int(n_toks.min()) >= 3, "oracle precondition: zero-shingle file"
+    max_len = int(bundle.files["content"].str.len().max())
+    assert max_len <= LEV_CHAR_KERNEL_MAX, (
+        f"oracle precondition: {max_len}-char file exceeds the char-level "
+        f"levenshtein kernel bound {LEV_CHAR_KERNEL_MAX}"
+    )
     out = os.path.join(ROOT, f"files_{name}")
     os.makedirs(out, exist_ok=True)
     # small row groups keep the file splittable — a single row group makes

@@ -73,9 +73,18 @@ def profile_level(cores: int) -> dict:
     from pyspark.sql.window import Window
 
     from spaczz_spark.operators.verify import (
-        attach_pair_sides,
-        make_edit_ratio_udf,
+        decided_pairs,
+        kernel_pairs,
+        score_pairs_slim,
     )
+    from spaczz_spark.plans.config import DedupConfig
+
+    # The profiled plan IS the production plan: the sub-stages below are the
+    # same factored functions verify_pairs composes, parameterized from
+    # DedupConfig (ADVICE r4 — the previous inline copy with hard-coded
+    # thresholds would silently diverge from any future verify_pairs change).
+    cfg = DedupConfig()
+    _, min_r2, _ = cfg.resolved_ratios()
 
     s = session(cores)
     out: dict[str, float] = {}
@@ -85,65 +94,22 @@ def profile_level(cores: int) -> dict:
         sim_cand = candidates.where(F.col("stage") != "substring")
 
         t0 = time.time()
-        slim = attach_pair_sides(
-            sim_cand, signatures, ["content_sha256", "n_shingles", "shingles"]
-        )
-        sha_eq = F.col("a_content_sha256") == F.col("b_content_sha256")
-        inter_sz = F.size(F.array_intersect("a_shingles", "b_shingles"))
-        union_sz = (
-            F.col("a_n_shingles") + F.col("b_n_shingles") - F.col("isz")
-        )
-        scored = (
-            slim.withColumn("isz", inter_sz)
-            .withColumn(
-                "jaccard",
-                F.when(sha_eq, F.lit(1.0))
-                .when(union_sz == 0, F.lit(0.0))
-                .otherwise(F.col("isz") / union_sz),
-            )
-            .withColumn("sha_eq", sha_eq)
-            .withColumn(
-                "kernel_band",
-                ~sha_eq
-                & (F.col("jaccard") < 0.7)
-                & ((F.col("jaccard") >= 0.2) | (union_sz == 0)),
-            )
-            .select("a_id", "b_id", "stage", "jaccard", "sha_eq",
-                    "kernel_band")
-            .localCheckpoint()
+        scored = score_pairs_slim(
+            sim_cand,
+            signatures,
+            jaccard_min=cfg.jaccard_min,
+            jaccard_floor=cfg.jaccard_floor,
         )
         out["slim_sec"] = round(time.time() - t0, 2)
 
         t0 = time.time()
-        decided = scored.where(
-            F.col("sha_eq") | (F.col("jaccard") >= 0.7)
-        ).select(
-            "a_id", "b_id", "stage", "jaccard",
-            F.when(F.col("sha_eq"), F.lit(100)).cast("int")
-            .alias("edit_ratio"),
-            F.when(F.col("sha_eq"), F.lit("sha")).otherwise("jaccard")
-            .alias("verified_by"),
-        )
+        decided = decided_pairs(scored, jaccard_min=cfg.jaccard_min)
         n_decided = decided.count()
         out["decided_sec"] = round(time.time() - t0, 2)
 
         t0 = time.time()
-        edit_udf = make_edit_ratio_udf(74)
-        band = attach_pair_sides(
-            scored.where(F.col("kernel_band")).select(
-                "a_id", "b_id", "stage", "jaccard"
-            ),
-            signatures,
-            ["content"],
-        )
-        band = band.repartition(s.sparkContext.defaultParallelism * 4)
-        kernel_kept = (
-            band.withColumn("edit_ratio", edit_udf("a_content", "b_content"))
-            .where(F.col("edit_ratio") >= 75)
-            .select(
-                "a_id", "b_id", "stage", "jaccard", "edit_ratio",
-                F.lit("edit_ratio").alias("verified_by"),
-            )
+        kernel_kept = kernel_pairs(
+            scored, signatures, min_r2=min_r2, ratio_func=cfg.ratio_func
         ).localCheckpoint()
         out["kernel_sec"] = round(time.time() - t0, 2)
 

@@ -29,11 +29,30 @@ from pyspark.sql import functions as F
 
 from ..ratios import indel_ratio, levenshtein_ratio
 
-__all__ = ["make_edit_ratio_udf", "attach_pair_sides", "verify_pairs"]
+__all__ = [
+    "make_edit_ratio_udf",
+    "attach_pair_sides",
+    "score_pairs_slim",
+    "decided_pairs",
+    "kernel_pairs",
+    "verify_pairs",
+]
 
 # Above this many characters the char-level InDel kernel switches to
 # token-level (whitespace tokens) — same family of measure, bounded cost.
 CHAR_KERNEL_MAX = 8192
+
+# Operating bound of the char-level Levenshtein kernel. The numpy row DP is
+# exact but quadratic, and unlike the InDel path the length-gap prefilter
+# cannot save two SIMILAR-length huge files — so above this many characters
+# the kernel switches to token-level Levenshtein (whitespace tokens, same
+# integer ratio formula, numpy-coded rows) to bound per-pair cost, mirroring
+# the InDel fallback. The bound sits above every committed oracle fixture's
+# max content length (files_small max 13,070 — asserted at fixture-gen time
+# in scripts/make_fixtures.py), so the DuckDB `levenshtein()` mirror in the
+# oracle SQL is exercised only where the char kernel runs; at 32 KiB the
+# worst-case numpy DP is ~1e9 cell ops (~1-2 s), the documented ceiling.
+LEV_CHAR_KERNEL_MAX = 32768
 
 
 def make_edit_ratio_udf(min_r: int = 0, func: str = "indel"):
@@ -65,12 +84,25 @@ def make_edit_ratio_udf(min_r: int = 0, func: str = "indel"):
                 out.append(0)
                 continue
             if func == "levenshtein":
-                m = max(len(s1), len(s2))
-                gap = abs(len(s1) - len(s2))
-                if m and min_r and (200 * (m - gap) + m) // (2 * m) < min_r:
-                    out.append(0)
-                    continue
-                r = levenshtein_ratio(s1, s2, score_cutoff=min_r)
+                if max(len(s1), len(s2)) > LEV_CHAR_KERNEL_MAX:
+                    # ADVICE r4: two similar-length multi-100KB files defeat
+                    # the length-gap prefilter and the quadratic DP stalls a
+                    # task — switch to whitespace tokens (same integer
+                    # formula over token edits, numpy-coded rows)
+                    t1, t2 = s1.split(), s2.split()
+                    m = max(len(t1), len(t2))
+                    gap = abs(len(t1) - len(t2))
+                    if m and min_r and (200 * (m - gap) + m) // (2 * m) < min_r:
+                        out.append(0)
+                        continue
+                    r = levenshtein_ratio(t1, t2, score_cutoff=min_r)
+                else:
+                    m = max(len(s1), len(s2))
+                    gap = abs(len(s1) - len(s2))
+                    if m and min_r and (200 * (m - gap) + m) // (2 * m) < min_r:
+                        out.append(0)
+                        continue
+                    r = levenshtein_ratio(s1, s2, score_cutoff=min_r)
             else:
                 if max(len(s1), len(s2)) > CHAR_KERNEL_MAX:
                     t1, t2 = s1.split(), s2.split()
@@ -149,6 +181,28 @@ def verify_pairs(
        a small fraction of candidates, so the wide payload and the Python
        boundary both shrink by that factor.
     """
+    scored = score_pairs_slim(
+        pairs, corpus, jaccard_min=jaccard_min, jaccard_floor=jaccard_floor
+    )
+    return decided_pairs(scored, jaccard_min=jaccard_min).unionByName(
+        kernel_pairs(scored, corpus, min_r2=min_r2, ratio_func=ratio_func)
+    )
+
+
+def score_pairs_slim(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    *,
+    jaccard_min: float = 0.7,
+    jaccard_floor: float = 0.2,
+) -> DataFrame:
+    """Slim phase: sha + Jaccard scoring with no ``content`` in flight.
+
+    Returns the localCheckpointed (a_id, b_id, stage, jaccard, sha_eq,
+    kernel_band) table both downstream passes consume. Factored out of
+    :func:`verify_pairs` so ``scripts/profile_verify.py`` times the exact
+    production plan instead of an inline re-implementation (ADVICE r4).
+    """
     slim = attach_pair_sides(
         pairs, corpus, ["content_sha256", "n_shingles", "shingles"]
     )
@@ -163,7 +217,7 @@ def verify_pairs(
     # (measured 30s -> 16s at local[1] on the 140k-row profile corpus).
     inter_sz = F.size(F.array_intersect("a_shingles", "b_shingles"))
     union_sz = F.col("a_n_shingles") + F.col("b_n_shingles") - F.col("isz")
-    scored = (
+    return (
         slim.withColumn("isz", inter_sz)
         .withColumn(
             "jaccard",
@@ -182,7 +236,10 @@ def verify_pairs(
         .localCheckpoint()
     )
 
-    decided = scored.where(
+
+def decided_pairs(scored: DataFrame, *, jaccard_min: float = 0.7) -> DataFrame:
+    """Pairs the slim phase already decided (sha equality or high Jaccard)."""
+    return scored.where(
         F.col("sha_eq") | (F.col("jaccard") >= jaccard_min)
     ).select(
         "a_id",
@@ -194,6 +251,16 @@ def verify_pairs(
         .alias("verified_by"),
     )
 
+
+def kernel_pairs(
+    scored: DataFrame,
+    corpus: DataFrame,
+    *,
+    min_r2: int = 75,
+    ratio_func: str = "indel",
+) -> DataFrame:
+    """Kernel phase: the undecided band joins ``content`` and runs the
+    Arrow edit-ratio kernel."""
     # min_r2 - 1 is the kernel's score_cutoff: every row the post-round
     # filter below could keep still comes back exact (a raw 74.6 rounds UP
     # to 75, so cutting at 75 would wrongly zero it — cutting at 74 cannot),
@@ -215,7 +282,7 @@ def verify_pairs(
     # moves only the band subset (a small fraction of candidates).
     sc = band.sparkSession.sparkContext
     band = band.repartition(sc.defaultParallelism * 4)
-    kernel_kept = (
+    return (
         band.withColumn("edit_ratio", edit_udf("a_content", "b_content"))
         .where(F.col("edit_ratio") >= min_r2)
         .select(
@@ -223,4 +290,3 @@ def verify_pairs(
             F.lit("edit_ratio").alias("verified_by"),
         )
     )
-    return decided.unionByName(kernel_kept)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -257,6 +258,64 @@ def q_doc_token_fuzzy(spark, sf_dir):
         .withColumn("dist", F.levenshtein("word", F.lit("table")))
         .where(F.col("dist") <= 1)
         .select("doc_id", "word", "dist")
+    )
+
+
+def q_doc_fregex(spark, sf_dir):
+    """Fuzzy-regex search distributed over documents (S7 end-to-end).
+
+    Runs the engine's real fregex path — ``parse_regex`` compiles
+    ``(?e)(?:table){e<=1}`` (best-match fuzzy literal, <=1 error), matches
+    report their ``fuzzy_counts``, and ``normalize_fuzzy_regex_counts``
+    turns the (subs, ins, dels) triple into a ratio under the registered
+    "lev" weight table (reference S7, ``searchutil.py:79-107``) — over every
+    distinct word of every document.
+
+    Scale shape: tokenization stays JVM-side (``regexp_extract_all``); the
+    Python kernel runs once per DISTINCT word (vocabulary << corpus), and
+    the scored vocabulary broadcasts back onto the (doc_id, word) table —
+    at 100 TB the kernel cost is bounded by vocabulary size, not corpus
+    size.
+
+    SQL-mirrorable because for a literal-core pattern under lev weights
+    (1,1,1) the normalized ratio is decomposition-invariant:
+    ``cost = subs+ins+dels = levenshtein distance`` (best-match ``(?e)``
+    minimizes total errors) and ``dist_max = max(len(pattern), len(word))``
+    (the implied source length ``len(word) - ins + dels`` always equals
+    ``len(pattern)``), so DuckDB reproduces it as
+    ``round(100 - 100*levenshtein(word,'table')/greatest(5,length(word)))``.
+    Python banker's rounding and DuckDB half-up agree for every d<=1 case:
+    a .5 value needs ``100/m = z.5`` i.e. ``m in {8, 40, 200}``, and each
+    yields an odd floor, where both modes round up.
+    """
+    from .ratios import normalize_fuzzy_regex_counts
+    from .repatterns import parse_regex
+
+    d = _docs(spark, sf_dir)
+    words = F.explode(
+        F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), 0))
+    )
+    doc_words = d.select("doc_id", words.alias("word"))
+    vocab = doc_words.select("word").distinct()
+
+    @F.pandas_udf("int")
+    def fregex_ratio(col: pd.Series) -> pd.Series:
+        pat = parse_regex(r"(?e)(?:table){e<=1}")
+        out = []
+        for w in col:
+            m = pat.fullmatch(w)
+            out.append(
+                normalize_fuzzy_regex_counts(w, tuple(m.fuzzy_counts), "lev")
+                if m
+                else -1
+            )
+        return pd.Series(out, dtype="int32")
+
+    matched = vocab.withColumn(
+        "fregex_ratio", fregex_ratio.asNondeterministic()("word")
+    ).where(F.col("fregex_ratio") >= 0)
+    return doc_words.join(F.broadcast(matched), "word").select(
+        "doc_id", "word", "fregex_ratio"
     )
 
 
@@ -649,6 +708,7 @@ QUERIES = {
     "doc_lang_profile": q_doc_lang_profile,
     "doc_quality": q_doc_quality,
     "doc_token_fuzzy": q_doc_token_fuzzy,
+    "doc_fregex": q_doc_fregex,
     "doc_ruler": q_doc_ruler,
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
@@ -739,6 +799,23 @@ WITH w AS (
   FROM documents
 )
 SELECT doc_id, word, levenshtein(word, 'table') AS dist
+FROM w WHERE levenshtein(word, 'table') <= 1
+""",
+    # mirrors q_doc_fregex: for the literal-core pattern (table){e<=1} under
+    # lev weights the engine's count-normalized ratio reduces to
+    # round(100 - 100*d/max(len('table'), len(word))) with d = levenshtein
+    # distance (see the query docstring for the decomposition-invariance and
+    # rounding-parity argument)
+    "doc_fregex": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+           AS word
+  FROM documents
+)
+SELECT doc_id, word,
+       round(100 - 100.0 * levenshtein(word, 'table')
+             / greatest(5, length(word)))::INT AS fregex_ratio
 FROM w WHERE levenshtein(word, 'table') <= 1
 """,
     "events_windowed": """

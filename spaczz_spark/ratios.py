@@ -275,6 +275,31 @@ def _levenshtein_distance_np(s1: str, s2: str) -> int:
         return len(s1)
     a = np.frombuffer(s1.encode("utf-32-le"), dtype=np.uint32)
     b = np.frombuffer(s2.encode("utf-32-le"), dtype=np.uint32)
+    return _lev_rows_np(a, b)
+
+
+def _lev_codes_np(t1: Sequence, t2: Sequence) -> int:
+    """Numpy row DP over arbitrary hashable sequences (token lists).
+
+    Elements are jointly integer-coded with one ``np.unique`` pass, then the
+    same vectorized rows as the string path run on the code arrays —
+    bit-identical distances to the pure-Python DP (the verify kernel's
+    token-level Levenshtein fallback above ``LEV_CHAR_KERNEL_MAX`` needs
+    this: a 100 KB file is ~15k tokens, quadratic in interpreted Python).
+    """
+    import numpy as np
+
+    if len(t1) < len(t2):
+        t1, t2 = t2, t1
+    if not t2:
+        return len(t1)
+    codes = np.unique(np.asarray(list(t1) + list(t2), dtype=object), return_inverse=True)[1]
+    return _lev_rows_np(codes[: len(t1)], codes[len(t1) :])
+
+
+def _lev_rows_np(a, b) -> int:
+    import numpy as np
+
     n = len(b)
     idx = np.arange(1, n + 1, dtype=np.int64)
     prev = np.arange(n + 1, dtype=np.int64)
@@ -293,12 +318,10 @@ def _levenshtein_distance_np(s1: str, s2: str) -> int:
 def levenshtein_distance(s1: Sequence, s2: Sequence) -> int:
     """Unit-cost Levenshtein distance (two-row DP; numpy rows for long
     strings — bit-identical results, see :func:`_levenshtein_distance_np`)."""
-    if (
-        isinstance(s1, str)
-        and isinstance(s2, str)
-        and min(len(s1), len(s2)) >= _LEV_NUMPY_MIN
-    ):
-        return _levenshtein_distance_np(s1, s2)
+    if min(len(s1), len(s2)) >= _LEV_NUMPY_MIN:
+        if isinstance(s1, str) and isinstance(s2, str):
+            return _levenshtein_distance_np(s1, s2)
+        return _lev_codes_np(s1, s2)
     if len(s1) < len(s2):
         s1, s2 = s2, s1
     if not s2:

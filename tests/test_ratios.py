@@ -153,3 +153,76 @@ def test_normalize_lev_weights():
 def test_normalize_unknown_weights_raises():
     with pytest.raises(ValueError):
         ratios.normalize_fuzzy_regex_counts("US", (0, 0, 1), "nope")
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein kernel operating bound (round-5 ADVICE: large-string guard)
+# ---------------------------------------------------------------------------
+
+
+def _lev_py(s1, s2):
+    """Reference pure-Python DP (kept tiny; test-only ground truth)."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def test_lev_codes_np_matches_python_dp():
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    for _ in range(10):
+        t1 = [rng.choice(vocab) for _ in range(rng.randint(64, 120))]
+        t2 = list(t1)
+        for _ in range(rng.randint(0, 15)):
+            op = rng.random()
+            i = rng.randrange(len(t2))
+            if op < 0.4:
+                t2[i] = rng.choice(vocab)
+            elif op < 0.7:
+                t2.insert(i, rng.choice(vocab))
+            elif len(t2) > 64:
+                del t2[i]
+        assert ratios._lev_codes_np(t1, t2) == _lev_py(t1, t2)
+        # the public dispatcher routes list inputs through the coded path
+        assert ratios.levenshtein_distance(t1, t2) == _lev_py(t1, t2)
+
+
+def test_levenshtein_ratio_accepts_token_lists():
+    t1 = ["a"] * 100
+    t2 = ["a"] * 90 + ["b"] * 10
+    # d=10, m=100 -> (200*90+100)//200 = 90
+    assert ratios.levenshtein_ratio(t1, t2) == 90.0
+
+
+def test_lev_kernel_token_fallback_above_bound(spark):
+    """Pairs longer than LEV_CHAR_KERNEL_MAX score at token level —
+    bounded cost for two similar-length huge files (the length-gap
+    prefilter can't save those)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spaczz_spark.operators.verify import (
+        LEV_CHAR_KERNEL_MAX,
+        make_edit_ratio_udf,
+    )
+
+    tok = [f"w{i}" for i in range(9000)]
+    s1 = " ".join(tok)
+    assert len(s1) > LEV_CHAR_KERNEL_MAX
+    t2 = list(tok)
+    t2[5000] = "CHANGED"
+    s2 = " ".join(t2)
+    expected = round(ratios.levenshtein_ratio(s1.split(), s2.split()))
+    df = spark.createDataFrame(pd.DataFrame({"a": [s1], "b": [s2]}))
+    got = df.select(
+        make_edit_ratio_udf(0, func="levenshtein")("a", "b").alias("r")
+    ).collect()[0]["r"]
+    assert got == expected == 100  # 1 token edit in 9000 rounds to 100
