@@ -162,16 +162,20 @@ def make_shingle_fp_udf(
     import hashlib
     import re as _re
 
-    from ..operators.substring import winnow_fingerprints
+    from ..operators.substring import winnow_fingerprints_pos
 
     token_re = _re.compile(TOKEN_PATTERN)
     A = np.uint64(0x9E3779B97F4A7C15)
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     out_type = StructType(
         [
             StructField("shingles", ArrayType(LongType())),
             StructField("fingerprints", ArrayType(LongType())),
+            # byte offset of each fingerprint's selected k-gram, aligned
+            # with `fingerprints` — the substring verifier's anchor votes
+            # come from these arrays instead of a per-pair content rehash
+            StructField("fp_positions", ArrayType(IntegerType())),
         ]
     )
 
@@ -189,11 +193,13 @@ def make_shingle_fp_udf(
             return v
 
         empty = np.array([], dtype=np.int64)
-        sh_out, fp_out = [], []
+        empty32 = np.array([], dtype=np.int32)
+        sh_out, fp_out, pos_out = [], [], []
         for text in content:
             if not text:
                 sh_out.append(empty)
                 fp_out.append(empty)
+                pos_out.append(empty32)
                 continue
             toks = token_re.findall(text.lower())
             n = len(toks)
@@ -214,10 +220,16 @@ def make_shingle_fp_udf(
                         acc = acc * A + h[j : j + m]
                 sh_out.append(np.unique(acc).astype(np.int64))
             if len(text.encode("utf-8", errors="ignore")) >= fp_min_bytes:
-                fp_out.append(winnow_fingerprints(text, fp_k, fp_w))
+                vals, pos = winnow_fingerprints_pos(text, fp_k, fp_w)
+                fp_out.append(vals)
+                pos_out.append(pos)
             else:
                 fp_out.append(empty)
-        return pd.DataFrame({"shingles": sh_out, "fingerprints": fp_out})
+                pos_out.append(empty32)
+        return pd.DataFrame(
+            {"shingles": sh_out, "fingerprints": fp_out,
+             "fp_positions": pos_out}
+        )
 
     # asNondeterministic stops CollapseProject from inlining the struct into
     # its three field references and re-running the UDF per field (the same
@@ -252,6 +264,7 @@ def with_shingles_and_fingerprints(
                         "fp_min_bytes": fp_min_bytes,
                     },
                 ),
+                "fp_positions": F.col("_sig.fp_positions"),
                 "n_shingles": F.size("_sig.shingles"),
             }
         )

@@ -36,25 +36,48 @@ __all__ = [
     "substring_candidates",
     "verify_substring_pairs",
     "anchored_partial_ratio",
+    "partial_ratio_from_positions",
+    "winnow_fingerprints_pos",
 ]
 
 _B = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
 
 
+_B_INV = np.uint64(pow(int(_B), -1, 2**64))  # B is odd, so invertible mod 2^64
+
+
 def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
-    """uint64 hashes of all k-grams of ``data`` (vectorized)."""
+    """uint64 hashes of all k-grams of ``data`` — O(len) prefix form.
+
+    Computes exactly ``H[i] = sum_j x[i+j] * B^(k-1-j)`` (mod 2^64, then the
+    murmur-style finalizer) — bit-identical to the naive windowed dot
+    product — via the telescoping prefix identity
+
+        H[i] = (S[i+k] - S[i]) * B^(i+k-1),   S[m] = sum_{j<m} x[j] * B^(-j)
+
+    (B odd => B^(-1) exists mod 2^64; all arithmetic wraps in uint64, which
+    is the modulus). Replaces the previous ``sliding_window_view`` matrix
+    product, which was O(len*k) — a 32x op-count reduction at k=32 that
+    shows up directly in the signatures stage (every document is hashed
+    once per run) and in any per-pair rehash fallback.
+    """
     arr = np.frombuffer(data, dtype=np.uint8)
     if len(arr) < k:
         arr = np.pad(arr, (0, k - len(arr)), constant_values=0)
-    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
-    # powers of B mod 2^64, computed in Python ints (numpy scalar uint64
-    # multiply raises overflow warnings even though wrap-around is intended)
-    powers_py = [1] * k
-    for i in range(k - 2, -1, -1):
-        powers_py[i] = (powers_py[i + 1] * int(_B)) & 0xFFFFFFFFFFFFFFFF
-    powers = np.array(powers_py, dtype=np.uint64)
+    n = len(arr)
     with np.errstate(over="ignore"):
-        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        inv_pows = np.empty(n, dtype=np.uint64)
+        inv_pows[0] = 1
+        np.cumprod(np.full(n - 1, _B_INV, dtype=np.uint64), out=inv_pows[1:])
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(arr.astype(np.uint64) * inv_pows, out=prefix[1:])
+        fwd_pows = np.empty(n - k + 1, dtype=np.uint64)
+        fwd_pows[0] = (int(_B) ** (k - 1)) & 0xFFFFFFFFFFFFFFFF
+        if len(fwd_pows) > 1:
+            np.cumprod(np.full(len(fwd_pows) - 1, _B, dtype=np.uint64),
+                       out=fwd_pows[1:])
+            fwd_pows[1:] *= fwd_pows[0]
+        h = (prefix[k:] - prefix[:-k]) * fwd_pows
     # final mix so low bytes influence high bits
     h ^= h >> np.uint64(33)
     h *= np.uint64(0xFF51AFD7ED558CCD)
@@ -64,14 +87,34 @@ def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
 
 def winnow_fingerprints(text: str, k: int = 32, w: int = 32) -> np.ndarray:
     """Winnowed fingerprint set (distinct int64) of a document."""
+    return winnow_fingerprints_pos(text, k, w)[0]
+
+
+def winnow_fingerprints_pos(
+    text: str, k: int = 32, w: int = 32
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprints WITH their byte offsets.
+
+    Returns ``(values, positions)``: ``values`` is the same sorted-distinct
+    int64 array :func:`winnow_fingerprints` returns (bit-identical — the
+    window minima are unchanged, only their argmin offsets are surfaced);
+    ``positions`` is the int32 byte offset (into the UTF-8 encoding) of the
+    first selected k-gram carrying each value. Positions let the substring
+    verifier compute embedding-offset votes from two documents' fingerprint
+    arrays alone — no per-pair rehash of the content (see
+    ``verify_substring_pairs``).
+    """
     data = text.encode("utf-8", errors="ignore")
     h = _kgram_hashes(data, k)
     if len(h) <= w:
-        sel = np.array([h.min()], dtype=np.uint64)
+        idx = np.array([int(h.argmin())])
     else:
         wins = np.lib.stride_tricks.sliding_window_view(h, w)
-        sel = wins.min(axis=1)
-    return np.unique(sel).astype(np.int64)
+        # argmin picks the first minimum per window — the selected value
+        # equals wins.min(axis=1), so `vals` matches the historical output
+        idx = wins.argmin(axis=1) + np.arange(len(wins))
+    vals, first = np.unique(h[idx], return_index=True)
+    return vals.astype(np.int64), idx[first].astype(np.int32)
 
 
 def make_fingerprint_udf(k: int = 32, w: int = 32):
@@ -309,6 +352,92 @@ def anchored_partial_ratio(
     return best if best >= score_cutoff else 0.0
 
 
+def partial_ratio_from_positions(
+    sb: bytes,
+    lb: bytes,
+    fp_s: np.ndarray,
+    pos_s: np.ndarray,
+    fp_l: np.ndarray,
+    pos_l: np.ndarray,
+    *,
+    k: int = 32,
+    min_partial: int = 75,
+    max_anchors: int = 3,
+) -> float:
+    """Anchored ``partial_ratio`` from two documents' precomputed winnowed
+    fingerprint (value, byte-offset) arrays — NO content rehash.
+
+    Same semantics as :func:`anchored_partial_ratio` (score the
+    vote-implied alignment windows with the InDel kernel), but the anchor
+    votes come from the fingerprint arrays the signatures stage already
+    computed once per document, so the per-pair cost is an
+    O(|fps|) intersect + at most ``max_anchors`` O(window) kernels instead
+    of an O(bytes*k) rehash of both sides. Differences vs the rehash path:
+
+    - votes are cast by *winnowed* shared grams (~2/w of all positions)
+      instead of every shared gram — sparser but equally anchored: within
+      an intact shared run both documents select the same window-minimum
+      grams (the MOSS guarantee), and each match votes the exact offset;
+    - a **coverage screen** skips the InDel kernel when the matched grams
+      near the top-voted offset cannot plausibly support ``min_partial``:
+      consecutive winnowed selections inside an intact run are <= w grams
+      apart, so with k = w their [p, p+k) spans tile the run contiguously
+      and ``coverage = union of spans`` undercounts the run by at most
+      w+k-2 boundary bytes per run.  A pair whose coverage is far below
+      the score target therefore shares only a small verbatim region
+      (boilerplate snippet, not an embedded copy) and the kernel is
+      skipped — this is what keeps the 100x-more-numerous
+      shared-boilerplate candidates from each paying an O(n^2/64) kernel.
+      The screen requires ``coverage >= n*(min_partial-25)/100`` (25
+      ratio points of slack for edit damage + run boundaries) and is
+      bypassed entirely for shorts <= 512 bytes, where the kernel is
+      cheaper than any risk of a sparse-gram recall edge.  The planted
+      embedded-with-edits fixtures gate its recall in
+      tests/test_substring.py.
+    """
+    n = len(sb)
+    if n == 0 or len(fp_s) == 0 or len(fp_l) == 0:
+        return 0.0
+    fp_s = np.asarray(fp_s, dtype=np.int64)
+    fp_l = np.asarray(fp_l, dtype=np.int64)
+    _, ia, ib = np.intersect1d(
+        fp_s, fp_l, assume_unique=True, return_indices=True
+    )
+    if ia.size == 0:
+        return 0.0
+    ps = np.asarray(pos_s, dtype=np.int64)[ia]
+    pl = np.asarray(pos_l, dtype=np.int64)[ib]
+    hi = max(len(lb) - n, 0)
+    votes = np.clip(pl - ps, 0, hi)
+    vals, counts = np.unique(votes, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    tol = max(64, n >> 3)
+    starts: list[int] = []
+    for i in order:
+        v = int(vals[i])
+        if all(abs(v - s) > tol for s in starts):
+            starts.append(v)
+            if len(starts) == max_anchors:
+                break
+    if n > 512:
+        members = np.sort(ps[np.abs(votes - starts[0]) <= tol])
+        cov = int(np.minimum(np.diff(members), k).sum()) + k
+        if cov * 100 < n * (min_partial - 25):
+            return 0.0
+    best = 0.0
+    for s in starts:
+        win = lb[s : s + n]
+        if n > CHAR_KERNEL_MAX:
+            sc = _indel_ratio(sb.split(), win.split())
+        else:
+            sc = _indel_ratio(sb, win)
+        if sc > best:
+            best = sc
+            if best >= 100.0:
+                break
+    return best
+
+
 def make_containment_udf(
     min_len: int = 100, min_partial: int | None = None, k: int = 32
 ):
@@ -365,6 +494,69 @@ def make_containment_udf(
     return containment.asNondeterministic()
 
 
+def make_anchored_containment_udf(
+    min_len: int = 100, min_partial: int = 75, k: int = 32
+):
+    """pandas UDF over (content, fingerprints, fp_positions) pairs.
+
+    Same contract as :func:`make_containment_udf` with ``min_partial`` set,
+    but edited near-containment is scored by
+    :func:`partial_ratio_from_positions` using the winnowed fingerprint
+    (value, offset) arrays the signatures stage already carries — the
+    per-pair O(bytes*k) content rehash of ``anchored_partial_ratio`` is
+    gone, and the coverage screen skips the InDel kernel for
+    shared-boilerplate candidates entirely.  This is the production
+    pipeline's partial path; the 2-column UDF remains the fallback for
+    corpora without precomputed fingerprint positions.
+    """
+    cutoff = max(min_partial - 1, 0)
+
+    @F.pandas_udf("score int, verbatim boolean")
+    def containment(
+        a: pd.Series, b: pd.Series,
+        a_fp: pd.Series, a_pos: pd.Series,
+        b_fp: pd.Series, b_pos: pd.Series,
+    ) -> pd.DataFrame:
+        empty = np.array([], dtype=np.int64)
+        scores: list[int] = []
+        verbatim: list[bool] = []
+        for s1, s2, f1, p1, f2, p2 in zip(a, b, a_fp, a_pos, b_fp, b_pos):
+            if s1 is None or s2 is None:
+                scores.append(0)
+                verbatim.append(False)
+                continue
+            if len(s1) <= len(s2):
+                short, long_, fs, ps, fl, pl = s1, s2, f1, p1, f2, p2
+            else:
+                short, long_, fs, ps, fl, pl = s2, s1, f2, p2, f1, p1
+            if len(short) < min_len:
+                scores.append(0)
+                verbatim.append(False)
+            elif short in long_:
+                scores.append(100)
+                verbatim.append(True)
+            else:
+                sc = partial_ratio_from_positions(
+                    short.encode("utf-8", "ignore"),
+                    long_.encode("utf-8", "ignore"),
+                    fs if fs is not None else empty,
+                    ps if ps is not None else empty,
+                    fl if fl is not None else empty,
+                    pl if pl is not None else empty,
+                    k=k,
+                    min_partial=min_partial,
+                )
+                # same rounding guard as the 2-column UDF: a raw
+                # (min_partial - 0.5) rounds UP to min_partial
+                scores.append(round(sc) if sc >= cutoff else 0)
+                verbatim.append(False)
+        return pd.DataFrame({"score": scores, "verbatim": verbatim}).astype(
+            {"score": "int32", "verbatim": "bool"}
+        )
+
+    return containment.asNondeterministic()
+
+
 def verify_substring_pairs(
     pairs: DataFrame,
     corpus: DataFrame,
@@ -385,12 +577,35 @@ def verify_substring_pairs(
     ``score >= min_partial`` with ``verified_by='partial'``.
 
     Schema-aligned with verify.verify_pairs output.
+
+    When the corpus carries the signatures stage's ``fp_positions`` column
+    (winnowed fingerprint byte offsets), the partial path scores with
+    :func:`partial_ratio_from_positions` — anchor votes from the arrays,
+    no per-pair content rehash. Without it, the ``anchored_partial_ratio``
+    rehash fallback preserves the same semantics for hand-built corpora.
     """
-    joined = attach_pair_sides(pairs, corpus, ["content"])
-    udf = make_containment_udf(min_len, min_partial, k)
+    use_anchors = (
+        min_partial is not None
+        and "fingerprints" in corpus.columns
+        and "fp_positions" in corpus.columns
+    )
+    if use_anchors:
+        joined = attach_pair_sides(
+            pairs, corpus, ["content", "fingerprints", "fp_positions"]
+        )
+        udf = make_anchored_containment_udf(min_len, min_partial, k)
+        scored = udf(
+            "a_content", "b_content",
+            "a_fingerprints", "a_fp_positions",
+            "b_fingerprints", "b_fp_positions",
+        )
+    else:
+        joined = attach_pair_sides(pairs, corpus, ["content"])
+        udf = make_containment_udf(min_len, min_partial, k)
+        scored = udf("a_content", "b_content")
     threshold = 100 if min_partial is None else min(min_partial, 100)
     return (
-        joined.withColumn("r", udf("a_content", "b_content"))
+        joined.withColumn("r", scored)
         .where(F.col("r.score") >= threshold)
         .select(
             "a_id",

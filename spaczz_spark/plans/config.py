@@ -60,7 +60,7 @@ class DedupConfig:
     # checkpoint-layout version: folded into config_hash so schema changes
     # to stage outputs (e.g. the fused fingerprints column in `signatures`)
     # invalidate incompatible checkpoints from older engine builds
-    layout_version: int = 3
+    layout_version: int = 4
 
     def __post_init__(self):
         if self.bands * self.rows != self.num_perm:

@@ -212,7 +212,8 @@ class DedupPipeline:
             )
             return with_signatures(shingled, cfg.num_perm, cfg.seed).select(
                 "file_id", "content_sha256", "content", "n_bytes",
-                "shingles", "n_shingles", "fingerprints", "minhash", "simhash",
+                "shingles", "n_shingles", "fingerprints", "fp_positions",
+                "minhash", "simhash",
             )
 
         signatures = self._stage("signatures", build_signatures)

@@ -225,3 +225,132 @@ def test_partial_path_is_what_recalls_them(spark, edited_corpus, tmp_path_factor
     )
     recall = pipe.pair_recall(components, truth)
     assert recall <= 0.5, pipe.metrics
+
+
+# ---------------------------------------------------------------------------
+# round-5 perf rework: O(len) rolling hash + array-anchored partial path
+# ---------------------------------------------------------------------------
+
+
+def test_kgram_rolling_hash_matches_windowed_reference():
+    """The O(len) prefix rolling hash must be bit-identical to the original
+    O(len*k) windowed dot product (same polynomial, same finalizer) — the
+    committed fingerprints/fixtures depend on the exact values."""
+    import numpy as np
+
+    from spaczz_spark.operators.substring import _B, _kgram_hashes
+
+    def windowed_ref(data: bytes, k: int) -> np.ndarray:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if len(arr) < k:
+            arr = np.pad(arr, (0, k - len(arr)), constant_values=0)
+        win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(
+            np.uint64
+        )
+        powers_py = [1] * k
+        for i in range(k - 2, -1, -1):
+            powers_py[i] = (powers_py[i + 1] * int(_B)) & 0xFFFFFFFFFFFFFFFF
+        powers = np.array(powers_py, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return h
+
+    rng = np.random.RandomState(7)
+    for k in (1, 4, 32, 64):
+        for length in (0, 1, 31, 32, 33, 100, 4096):
+            data = rng.bytes(length)
+            got = _kgram_hashes(data, k)
+            want = windowed_ref(data, k)
+            assert got.shape == want.shape and (got == want).all(), (k, length)
+
+
+def test_winnow_positions_point_at_selected_grams():
+    """winnow_fingerprints_pos values must equal winnow_fingerprints
+    (bit-identical) and every position must be a genuine occurrence of its
+    fingerprint's k-gram hash."""
+    import numpy as np
+
+    from spaczz_spark.operators.substring import (
+        _kgram_hashes,
+        winnow_fingerprints,
+        winnow_fingerprints_pos,
+    )
+
+    rng = random.Random(5)
+    for n_tokens in (5, 40, 400):
+        text = _gen(rng, n_tokens)
+        vals, pos = winnow_fingerprints_pos(text, 32, 32)
+        assert (vals == winnow_fingerprints(text, 32, 32)).all()
+        assert len(vals) == len(pos)
+        h = _kgram_hashes(text.encode("utf-8"), 32).astype(np.int64)
+        assert (h[pos] == vals).all()
+
+
+def test_positions_fast_path_matches_rehash_fallback(spark, verify_fixture):
+    """With fp_positions present, verify_substring_pairs must keep the same
+    pair set as the anchored-rehash fallback on the planted fixture (scores
+    agree on the aligned window; both paths pick the true offset)."""
+    from pyspark.sql import functions as F
+
+    from spaczz_spark.functions.signatures import (
+        with_shingles_and_fingerprints,
+    )
+    from spaczz_spark.operators.substring import verify_substring_pairs
+
+    corpus, pairs = verify_fixture
+    enriched = with_shingles_and_fingerprints(
+        corpus.withColumn(
+            "n_bytes", F.length("content")
+        ),
+        3, 32, 32, 100,
+    ).select("file_id", "content", "fingerprints", "fp_positions")
+    fast = {
+        r["b_id"]: r
+        for r in verify_substring_pairs(
+            pairs, enriched, min_len=100, min_partial=75
+        ).collect()
+    }
+    slow = {
+        r["b_id"]: r
+        for r in verify_substring_pairs(
+            pairs, corpus, min_len=100, min_partial=75
+        ).collect()
+    }
+    assert set(fast) == set(slow) == {2, 3}
+    assert fast[2]["verified_by"] == "containment" == slow[2]["verified_by"]
+    assert fast[3]["verified_by"] == "partial" == slow[3]["verified_by"]
+    # same aligned window -> same InDel score
+    assert fast[3]["edit_ratio"] == slow[3]["edit_ratio"]
+
+
+def test_coverage_screen_skips_boilerplate_keeps_embeddings():
+    """The coverage screen must zero a pair whose only shared material is a
+    small boilerplate block (far below the score target) WITHOUT running
+    the kernel, and must pass a genuine light-edit embedding."""
+    from spaczz_spark.operators.substring import (
+        partial_ratio_from_positions,
+        winnow_fingerprints_pos,
+    )
+
+    rng = random.Random(21)
+    boiler = _gen(rng, 60)  # ~500 bytes shared block
+    doc_a = _gen(rng, 250) + "\n" + boiler + "\n" + _gen(rng, 250)
+    doc_b = _gen(rng, 300) + "\n" + boiler + "\n" + _gen(rng, 200)
+    base = _gen(rng, 200)
+    host = _gen(rng, 300) + "\n" + _spaced_edit(base, 50) + "\n" + _gen(rng, 80)
+
+    def score(s, l):
+        sb, lb = s.encode(), l.encode()
+        if len(sb) > len(lb):
+            sb, lb, s, l = lb, sb, l, s
+        fs, ps = winnow_fingerprints_pos(s, 32, 32)
+        fl, pl = winnow_fingerprints_pos(l, 32, 32)
+        return partial_ratio_from_positions(
+            sb, lb, fs, ps, fl, pl, k=32, min_partial=75
+        )
+
+    assert score(doc_a, doc_b) == 0.0  # screened: shared block << short
+    assert score(base, host) >= 75.0  # light-edit embedding passes
