@@ -352,6 +352,65 @@ def anchored_partial_ratio(
     return best if best >= score_cutoff else 0.0
 
 
+def anchor_votes(
+    n_short: int,
+    n_long: int,
+    fp_s,
+    pos_s,
+    fp_l,
+    pos_l,
+    *,
+    k: int = 32,
+    min_partial: int = 75,
+    max_anchors: int = 3,
+) -> tuple[bool, list[int]]:
+    """Anchor-vote + coverage-screen decision from two fingerprint arrays.
+
+    Returns ``(passes, starts)``: ``starts`` are the (<= max_anchors)
+    top-voted candidate window offsets of the shorter side inside the
+    longer, and ``passes`` is False when the pair shares no fingerprint or
+    the coverage screen rules out reaching ``min_partial`` (see
+    :func:`partial_ratio_from_positions` for the screen's derivation).
+    Pure array math — no content needed — which is what lets the verify
+    stage screen candidate pairs BEFORE joining content onto them.
+    """
+    if (
+        n_short == 0
+        or fp_s is None
+        or fp_l is None
+        or len(fp_s) == 0
+        or len(fp_l) == 0
+    ):
+        return False, []
+    fp_s = np.asarray(fp_s, dtype=np.int64)
+    fp_l = np.asarray(fp_l, dtype=np.int64)
+    _, ia, ib = np.intersect1d(
+        fp_s, fp_l, assume_unique=True, return_indices=True
+    )
+    if ia.size == 0:
+        return False, []
+    ps = np.asarray(pos_s, dtype=np.int64)[ia]
+    pl = np.asarray(pos_l, dtype=np.int64)[ib]
+    hi = max(n_long - n_short, 0)
+    votes = np.clip(pl - ps, 0, hi)
+    vals, counts = np.unique(votes, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    tol = max(64, n_short >> 3)
+    starts: list[int] = []
+    for i in order:
+        v = int(vals[i])
+        if all(abs(v - s) > tol for s in starts):
+            starts.append(v)
+            if len(starts) == max_anchors:
+                break
+    if n_short > 512:
+        members = np.sort(ps[np.abs(votes - starts[0]) <= tol])
+        cov = int(np.minimum(np.diff(members), k).sum()) + k
+        if cov * 100 < n_short * (min_partial - 25):
+            return False, starts
+    return True, starts
+
+
 def partial_ratio_from_positions(
     sb: bytes,
     lb: bytes,
@@ -395,35 +454,13 @@ def partial_ratio_from_positions(
       embedded-with-edits fixtures gate its recall in
       tests/test_substring.py.
     """
-    n = len(sb)
-    if n == 0 or len(fp_s) == 0 or len(fp_l) == 0:
-        return 0.0
-    fp_s = np.asarray(fp_s, dtype=np.int64)
-    fp_l = np.asarray(fp_l, dtype=np.int64)
-    _, ia, ib = np.intersect1d(
-        fp_s, fp_l, assume_unique=True, return_indices=True
+    passes, starts = anchor_votes(
+        len(sb), len(lb), fp_s, pos_s, fp_l, pos_l,
+        k=k, min_partial=min_partial, max_anchors=max_anchors,
     )
-    if ia.size == 0:
+    if not passes:
         return 0.0
-    ps = np.asarray(pos_s, dtype=np.int64)[ia]
-    pl = np.asarray(pos_l, dtype=np.int64)[ib]
-    hi = max(len(lb) - n, 0)
-    votes = np.clip(pl - ps, 0, hi)
-    vals, counts = np.unique(votes, return_counts=True)
-    order = np.argsort(-counts, kind="stable")
-    tol = max(64, n >> 3)
-    starts: list[int] = []
-    for i in order:
-        v = int(vals[i])
-        if all(abs(v - s) > tol for s in starts):
-            starts.append(v)
-            if len(starts) == max_anchors:
-                break
-    if n > 512:
-        members = np.sort(ps[np.abs(votes - starts[0]) <= tol])
-        cov = int(np.minimum(np.diff(members), k).sum()) + k
-        if cov * 100 < n * (min_partial - 25):
-            return 0.0
+    n = len(sb)
     best = 0.0
     for s in starts:
         win = lb[s : s + n]
@@ -494,61 +531,115 @@ def make_containment_udf(
     return containment.asNondeterministic()
 
 
-def make_anchored_containment_udf(
-    min_len: int = 100, min_partial: int = 75, k: int = 32
+def make_anchor_screen_udf(
+    min_len: int = 100, min_partial: int = 75, k: int = 32,
+    max_anchors: int = 3,
 ):
-    """pandas UDF over (content, fingerprints, fp_positions) pairs.
+    """Phase-A pandas UDF: (n_bytes, fingerprints, fp_positions) x 2 sides
+    -> ``struct<passes boolean, anchors array<int>>`` — NO content input.
 
-    Same contract as :func:`make_containment_udf` with ``min_partial`` set,
-    but edited near-containment is scored by
-    :func:`partial_ratio_from_positions` using the winnowed fingerprint
-    (value, offset) arrays the signatures stage already carries — the
-    per-pair O(bytes*k) content rehash of ``anchored_partial_ratio`` is
-    gone, and the coverage screen skips the InDel kernel for
-    shared-boilerplate candidates entirely.  This is the production
-    pipeline's partial path; the 2-column UDF remains the fallback for
-    corpora without precomputed fingerprint positions.
+    Runs :func:`anchor_votes` on the slim fingerprint arrays so the verify
+    stage can decide which candidate pairs are worth joining ``content``
+    onto at all.  On the scale2 corpus ~85% of substring candidates are
+    shared-boilerplate pairs the coverage screen rejects; screening before
+    the content join keeps their (multi-KB) text off the exchange and out
+    of the Arrow channel entirely — the slim arrays are ~1.5 KB/pair vs
+    ~7 KB/pair with content.  Anchors are byte offsets of the shorter
+    (by ``n_bytes``) side inside the longer, consumed by
+    :func:`make_windowed_containment_udf` after the content join.
+
+    Verbatim-containment recall is preserved by construction: a verbatim
+    pair's shared run is the whole short side, winnowed selections tile it
+    (gap <= w <= k), so coverage lands far above the screen threshold —
+    except when most of the short's gram VALUES also occur earlier in the
+    host (first-occurrence positions then vote wrong offsets). Shorts
+    <= 512 bytes bypass the screen entirely, and the pathological
+    repeated-material case is pinned by tests.
+    """
+
+    @F.pandas_udf("passes boolean, anchors array<int>")
+    def screen(
+        a_nb: pd.Series, b_nb: pd.Series,
+        a_fp: pd.Series, a_pos: pd.Series,
+        b_fp: pd.Series, b_pos: pd.Series,
+    ) -> pd.DataFrame:
+        passes: list[bool] = []
+        anchors: list[list[int]] = []
+        for na, nb, f1, p1, f2, p2 in zip(a_nb, b_nb, a_fp, a_pos, b_fp, b_pos):
+            na = int(na) if na is not None else 0
+            nb = int(nb) if nb is not None else 0
+            if na <= nb:
+                ns, nl, fs, ps, fl, pl = na, nb, f1, p1, f2, p2
+            else:
+                ns, nl, fs, ps, fl, pl = nb, na, f2, p2, f1, p1
+            if ns < min_len:
+                passes.append(False)
+                anchors.append([])
+                continue
+            ok, starts = anchor_votes(
+                ns, nl, fs, ps, fl, pl,
+                k=k, min_partial=min_partial, max_anchors=max_anchors,
+            )
+            passes.append(ok)
+            anchors.append(starts)
+        return pd.DataFrame({"passes": passes, "anchors": anchors})
+
+    return screen.asNondeterministic()
+
+
+def make_windowed_containment_udf(
+    min_len: int = 100, min_partial: int = 75
+):
+    """Phase-B pandas UDF: (content_a, content_b, anchors) -> score struct.
+
+    Runs only on pairs phase A passed: exact containment fast path, then
+    the InDel kernel over the carried anchor windows (byte offsets of the
+    byte-shorter side inside the longer — the same orientation phase A
+    used). Same output contract and rounding guard as
+    :func:`make_containment_udf`.
     """
     cutoff = max(min_partial - 1, 0)
 
     @F.pandas_udf("score int, verbatim boolean")
     def containment(
-        a: pd.Series, b: pd.Series,
-        a_fp: pd.Series, a_pos: pd.Series,
-        b_fp: pd.Series, b_pos: pd.Series,
+        a: pd.Series, b: pd.Series, anchors: pd.Series
     ) -> pd.DataFrame:
-        empty = np.array([], dtype=np.int64)
         scores: list[int] = []
         verbatim: list[bool] = []
-        for s1, s2, f1, p1, f2, p2 in zip(a, b, a_fp, a_pos, b_fp, b_pos):
+        for s1, s2, starts in zip(a, b, anchors):
             if s1 is None or s2 is None:
                 scores.append(0)
                 verbatim.append(False)
                 continue
-            if len(s1) <= len(s2):
-                short, long_, fs, ps, fl, pl = s1, s2, f1, p1, f2, p2
-            else:
-                short, long_, fs, ps, fl, pl = s2, s1, f2, p2, f1, p1
-            if len(short) < min_len:
+            sb = s1.encode("utf-8", "ignore")
+            lb = s2.encode("utf-8", "ignore")
+            if len(sb) > len(lb):
+                sb, lb = lb, sb
+            n = len(sb)
+            if n < min_len:
                 scores.append(0)
                 verbatim.append(False)
-            elif short in long_:
+            elif sb in lb:
+                # bytes containment == string containment for valid UTF-8
+                # (self-synchronizing: a byte-aligned match of a sequence
+                # starting with a lead byte is a char-boundary match)
                 scores.append(100)
                 verbatim.append(True)
             else:
-                sc = partial_ratio_from_positions(
-                    short.encode("utf-8", "ignore"),
-                    long_.encode("utf-8", "ignore"),
-                    fs if fs is not None else empty,
-                    ps if ps is not None else empty,
-                    fl if fl is not None else empty,
-                    pl if pl is not None else empty,
-                    k=k,
-                    min_partial=min_partial,
-                )
+                best = 0.0
+                for s in starts if starts is not None else []:
+                    win = lb[int(s) : int(s) + n]
+                    if n > CHAR_KERNEL_MAX:
+                        sc = _indel_ratio(sb.split(), win.split())
+                    else:
+                        sc = _indel_ratio(sb, win)
+                    if sc > best:
+                        best = sc
+                        if best >= 100.0:
+                            break
                 # same rounding guard as the 2-column UDF: a raw
                 # (min_partial - 0.5) rounds UP to min_partial
-                scores.append(round(sc) if sc >= cutoff else 0)
+                scores.append(round(best) if best >= cutoff else 0)
                 verbatim.append(False)
         return pd.DataFrame({"score": scores, "verbatim": verbatim}).astype(
             {"score": "int32", "verbatim": "bool"}
@@ -578,32 +669,49 @@ def verify_substring_pairs(
 
     Schema-aligned with verify.verify_pairs output.
 
-    When the corpus carries the signatures stage's ``fp_positions`` column
-    (winnowed fingerprint byte offsets), the partial path scores with
-    :func:`partial_ratio_from_positions` — anchor votes from the arrays,
-    no per-pair content rehash. Without it, the ``anchored_partial_ratio``
-    rehash fallback preserves the same semantics for hand-built corpora.
+    When ``min_partial`` is set and the corpus carries the signatures
+    stage's ``fingerprints``/``fp_positions``/``n_bytes`` columns, the
+    verify runs **two-phase** (mirroring ``verify.verify_pairs``'s
+    slim/kernel split): phase A joins only the slim fingerprint arrays and
+    screens with :func:`anchor_votes` — ~85% of candidates on the scale2
+    corpus are shared-boilerplate pairs rejected here — and only the
+    survivors join ``content`` for the exact containment check + anchored
+    InDel windows (phase B). The multi-KB text of rejected pairs never
+    crosses the exchange or the Arrow channel. Without the precomputed
+    columns, the single-pass ``anchored_partial_ratio`` rehash fallback
+    preserves the same semantics for hand-built corpora.
     """
     use_anchors = (
         min_partial is not None
         and "fingerprints" in corpus.columns
         and "fp_positions" in corpus.columns
+        and "n_bytes" in corpus.columns
     )
+    threshold = 100 if min_partial is None else min(min_partial, 100)
     if use_anchors:
-        joined = attach_pair_sides(
-            pairs, corpus, ["content", "fingerprints", "fp_positions"]
+        slim = attach_pair_sides(
+            pairs, corpus, ["n_bytes", "fingerprints", "fp_positions"]
         )
-        udf = make_anchored_containment_udf(min_len, min_partial, k)
-        scored = udf(
-            "a_content", "b_content",
-            "a_fingerprints", "a_fp_positions",
-            "b_fingerprints", "b_fp_positions",
+        screen = make_anchor_screen_udf(min_len, min_partial, k)
+        passed = (
+            slim.withColumn(
+                "s",
+                screen(
+                    "a_n_bytes", "b_n_bytes",
+                    "a_fingerprints", "a_fp_positions",
+                    "b_fingerprints", "b_fp_positions",
+                ),
+            )
+            .where(F.col("s.passes"))
+            .select("a_id", "b_id", "stage", F.col("s.anchors").alias("anchors"))
         )
+        joined = attach_pair_sides(passed, corpus, ["content"])
+        udf = make_windowed_containment_udf(min_len, min_partial)
+        scored = udf("a_content", "b_content", "anchors")
     else:
         joined = attach_pair_sides(pairs, corpus, ["content"])
         udf = make_containment_udf(min_len, min_partial, k)
         scored = udf("a_content", "b_content")
-    threshold = 100 if min_partial is None else min(min_partial, 100)
     return (
         joined.withColumn("r", scored)
         .where(F.col("r.score") >= threshold)

@@ -303,10 +303,10 @@ def test_positions_fast_path_matches_rehash_fallback(spark, verify_fixture):
     corpus, pairs = verify_fixture
     enriched = with_shingles_and_fingerprints(
         corpus.withColumn(
-            "n_bytes", F.length("content")
+            "n_bytes", F.octet_length("content")
         ),
         3, 32, 32, 100,
-    ).select("file_id", "content", "fingerprints", "fp_positions")
+    ).select("file_id", "content", "n_bytes", "fingerprints", "fp_positions")
     fast = {
         r["b_id"]: r
         for r in verify_substring_pairs(
@@ -354,3 +354,24 @@ def test_coverage_screen_skips_boilerplate_keeps_embeddings():
 
     assert score(doc_a, doc_b) == 0.0  # screened: shared block << short
     assert score(base, host) >= 75.0  # light-edit embedding passes
+
+
+def test_two_phase_screen_passes_large_verbatim_containment():
+    """Phase A (anchor_votes on slim arrays, no content) must pass a
+    verbatim containment pair with a large short side: winnowed selections
+    tile the shared run, so coverage lands far above the screen threshold."""
+    from spaczz_spark.operators.substring import (
+        anchor_votes,
+        winnow_fingerprints_pos,
+    )
+
+    rng = random.Random(33)
+    base = _gen(rng, 300)  # ~2.5 KB >> the 512-byte screen bypass
+    host = _gen(rng, 200) + "\n" + base + "\n" + _gen(rng, 150)
+    fs, ps = winnow_fingerprints_pos(base, 32, 32)
+    fl, pl = winnow_fingerprints_pos(host, 32, 32)
+    nb, nl = len(base.encode()), len(host.encode())
+    ok, starts = anchor_votes(nb, nl, fs, ps, fl, pl, k=32, min_partial=75)
+    assert ok and starts
+    # the top anchor is the true embedding offset
+    assert abs(starts[0] - host.encode().index(base.encode())) <= 64
