@@ -60,6 +60,27 @@ def main():
         grab(verified),
     ))
 
+    from spaczz_spark.functions.signatures import (
+        with_shingles_and_fingerprints,
+    )
+    from spaczz_spark.operators.substring import (
+        substring_candidates,
+        verify_substring_pairs,
+    )
+
+    sigf = with_signatures(with_shingles_and_fingerprints(normalize(files)))
+    subv = verify_substring_pairs(
+        substring_candidates(sigf), sigf, min_partial=75
+    )
+    sections.append((
+        "Two-phase substring verify (anchor screen before the content join)",
+        "Check: phase A joins only (n_bytes, fingerprints, fp_positions) "
+        "and its ArrowEvalPython screen feeds the Filter; the content "
+        "joins sit ABOVE that filter, so rejected pairs never ship text; "
+        "exactly two ArrowEvalPython nodes (screen, windowed kernel).",
+        grab(subv),
+    ))
+
     sections.append((
         "TPC-H-style aggregation (tpch_q1)",
         "Check: PushedFilters/ReadSchema prune the lineitem scan to the six "

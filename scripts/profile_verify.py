@@ -131,6 +131,31 @@ def profile_level(cores: int) -> dict:
         ).parquet(outdir)
         out["dedup_write_sec"] = round(time.time() - t0, 2)
         out["n_decided"] = n_decided
+
+        # ---- substring path (two-phase, round-5) ------------------------
+        from spaczz_spark.operators.substring import (
+            screen_substring_pairs,
+            verify_substring_pairs,
+        )
+
+        sub_cand = candidates.where(F.col("stage") == "substring")
+        t0 = time.time()
+        passed = screen_substring_pairs(
+            sub_cand, signatures,
+            min_len=cfg.substring_min_len, min_partial=min_r2,
+            k=cfg.substring_k,
+        ).localCheckpoint()
+        out["n_sub_passed"] = passed.count()
+        out["sub_screen_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        n_sub = verify_substring_pairs(
+            sub_cand, signatures,
+            min_len=cfg.substring_min_len,
+            min_partial=min_r2 if cfg.substring_partial else None,
+            k=cfg.substring_k,
+        ).count()
+        out["n_sub_verified"] = n_sub
+        out["sub_fused_sec"] = round(time.time() - t0, 2)
     finally:
         s.stop()
     return out

@@ -13,8 +13,12 @@ cover it with **winnowed k-gram fingerprints** (Schleimer et al., MOSS):
   long verbatim overlaps, at ~2/w of the all-positions cost.
 - explode fingerprints, bucket-join into candidate pairs (same cap/star skew
   guard as MinHash LSH).
-- verify with an Arrow-batched pandas UDF: containment check plus
-  ``partial_ratio`` of the shorter side against the aligned region.
+- verify **two-phase**: a slim anchor-vote + coverage screen over the
+  precomputed fingerprint (value, byte-offset) arrays first — no content in
+  flight — then, for the surviving pairs only, a content join feeding an
+  Arrow-batched UDF that does the exact containment check plus
+  ``partial_ratio`` of the shorter side against the top-voted aligned
+  windows.
 
 Output pairs carry stage='substring' and the partial ratio as edit_ratio.
 """
@@ -689,21 +693,8 @@ def verify_substring_pairs(
     )
     threshold = 100 if min_partial is None else min(min_partial, 100)
     if use_anchors:
-        slim = attach_pair_sides(
-            pairs, corpus, ["n_bytes", "fingerprints", "fp_positions"]
-        )
-        screen = make_anchor_screen_udf(min_len, min_partial, k)
-        passed = (
-            slim.withColumn(
-                "s",
-                screen(
-                    "a_n_bytes", "b_n_bytes",
-                    "a_fingerprints", "a_fp_positions",
-                    "b_fingerprints", "b_fp_positions",
-                ),
-            )
-            .where(F.col("s.passes"))
-            .select("a_id", "b_id", "stage", F.col("s.anchors").alias("anchors"))
+        passed = screen_substring_pairs(
+            pairs, corpus, min_len=min_len, min_partial=min_partial, k=k
         )
         joined = attach_pair_sides(passed, corpus, ["content"])
         udf = make_windowed_containment_udf(min_len, min_partial)
@@ -725,4 +716,37 @@ def verify_substring_pairs(
             .otherwise(F.lit("partial"))
             .alias("verified_by"),
         )
+    )
+
+
+def screen_substring_pairs(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    *,
+    min_len: int = 100,
+    min_partial: int = 75,
+    k: int = 32,
+    max_anchors: int = 3,
+) -> DataFrame:
+    """Phase A of the two-phase substring verify, factored so
+    ``scripts/profile_verify.py`` times the exact production sub-plan
+    (ADVICE r4 discipline): slim (n_bytes, fingerprints, fp_positions)
+    joins + the anchor-vote/coverage screen. Returns
+    (a_id, b_id, stage, anchors) for the surviving pairs only.
+    """
+    slim = attach_pair_sides(
+        pairs, corpus, ["n_bytes", "fingerprints", "fp_positions"]
+    )
+    screen = make_anchor_screen_udf(min_len, min_partial, k, max_anchors)
+    return (
+        slim.withColumn(
+            "s",
+            screen(
+                "a_n_bytes", "b_n_bytes",
+                "a_fingerprints", "a_fp_positions",
+                "b_fingerprints", "b_fp_positions",
+            ),
+        )
+        .where(F.col("s.passes"))
+        .select("a_id", "b_id", "stage", F.col("s.anchors").alias("anchors"))
     )
