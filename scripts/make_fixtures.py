@@ -79,6 +79,44 @@ def make(name: str) -> None:
     )
 
 
+def make_partial() -> None:
+    """Committed fixture for the oracle-exact partial_ratio gate
+    (files_substring_partial): substitution-only embedded copies at known
+    offsets — see sources.corpus.generate_partial_corpus for the exactness
+    argument. Self-checks every plant against the production anchored
+    kernel before writing: anchor == planted offset and score ==
+    100*(n-k)/n, so a generator/argument slip fails HERE, not as a driver
+    hash mismatch."""
+    from spaczz_spark.operators.substring import (
+        partial_ratio_from_positions,
+        winnow_fingerprints_pos,
+    )
+    from spaczz_spark.sources.corpus import generate_partial_corpus
+
+    files, plant = generate_partial_corpus()
+    by_key = {
+        f"{r.repo}\x1f{r.path}\x1f{r.commit}": r.content
+        for r in files.itertuples(index=False)
+    }
+    for p in plant.itertuples(index=False):
+        a, b = by_key[p.a_key], by_key[p.b_key]
+        assert len(a) == p.n and b[p.off : p.off + p.n].count("~") == p.k
+        fs, ps = winnow_fingerprints_pos(a, 32, 32)
+        fl, pl = winnow_fingerprints_pos(b, 32, 32)
+        score = partial_ratio_from_positions(
+            a.encode(), b.encode(), fs, ps, fl, pl, k=32, min_partial=75
+        )
+        expected = 100.0 * (1.0 - (2 * p.k) / (p.n + p.n))
+        assert abs(score - expected) < 1e-9, (p.a_key, score, expected)
+        assert round(expected) >= 75, "plant below the verify threshold"
+    out = os.path.join(ROOT, "files_partial")
+    os.makedirs(out, exist_ok=True)
+    files.to_parquet(os.path.join(out, "files.parquet"), index=False,
+                     row_group_size=64)
+    plant.to_parquet(os.path.join(out, "plant.parquet"), index=False)
+    print(f"partial: {len(files)} files, {len(plant)} plants -> {out}")
+
+
 def make_ccpath(n: int = 100_000) -> None:
     """Worst-diameter CC stress fixture: a single path graph of ``n`` nodes
     (edges i—i+1). Naive min-label propagation needs O(n) rounds on it;
@@ -181,5 +219,7 @@ if __name__ == "__main__":
             make_media()
         elif t == "ccpath":
             make_ccpath()
+        elif t == "partial":
+            make_partial()
         else:
             make(t)

@@ -116,14 +116,30 @@ def connected_components(
     )
     iterations = 0
     walls: list[float] = []
+    converged = False
     for _ in range(max_iter):
         t0 = time.time()
         edges, cur = _checkpoint_with_checksum(_small_star(_large_star(edges)))
         walls.append(round(time.time() - t0, 3))
         iterations += 1
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # The root extraction below assumes the checksum fixed point (the
+        # star graph): on a NON-converged edge set, distinct(v) would label
+        # v-side nodes as their own roots, yielding duplicate file_id rows
+        # that multiply through attach_components' join — silent data
+        # corruption. Alternating star rounds converge in O(log^2 n)
+        # (Kiveris et al.), so 25 rounds covers any realistic graph; hitting
+        # the cap means something is broken, and failing loudly beats
+        # returning corrupt labels (round-5 ADVICE).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; the star-graph assumption behind root "
+            "extraction does not hold — raise max_iter"
+        )
     if metrics is not None:
         metrics["iteration_walls"] = walls
     # Converged: the checksum fixed point of small∘large star IS the star

@@ -325,8 +325,8 @@ def anchored_partial_ratio(
     content the normalization therefore counts bytes, not codepoints — a
     documented, deterministic choice.
     """
-    sb = short.encode("utf-8", "ignore")
-    lb = long_.encode("utf-8", "ignore")
+    sb = short if isinstance(short, bytes) else short.encode("utf-8", "ignore")
+    lb = long_ if isinstance(long_, bytes) else long_.encode("utf-8", "ignore")
     if len(sb) > len(lb):
         sb, lb = lb, sb
     n = len(sb)
@@ -408,10 +408,32 @@ def anchor_votes(
             if len(starts) == max_anchors:
                 break
     if n_short > 512:
-        members = np.sort(ps[np.abs(votes - starts[0]) <= tol])
-        cov = int(np.minimum(np.diff(members), k).sum()) + k
-        if cov * 100 < n_short * (min_partial - 25):
-            return False, starts
+        # Coverage over the BEST-covered anchor among `starts`, not just the
+        # top-voted one: a boilerplate-heavy prefix can out-vote the true
+        # embedding offset, and vetoing on that noise anchor alone rejected
+        # genuine pairs (round-5 ADVICE; adversarial test in
+        # tests/test_substring.py::test_boilerplate_prefix_outvotes_true_offset).
+        best_cov = 0
+        for s in starts:
+            members = np.sort(ps[np.abs(votes - s) <= tol])
+            cov = int(np.minimum(np.diff(members), k).sum()) + k
+            if cov > best_cov:
+                best_cov = cov
+        if best_cov * 100 < n_short * (min_partial - 25):
+            # Misanchor escape hatch: when the short's gram VALUES also occur
+            # earlier in the long side (repeated/boilerplate material), the
+            # first-occurrence positions vote incoherent offsets and every
+            # per-anchor cluster looks sparse — yet a verbatim containment
+            # may still exist elsewhere. Position-FREE coverage over all
+            # matched short grams upper-bounds any alignment's coverage; if
+            # it is near-complete (within winnow-boundary slack of the whole
+            # short), pass the pair so phase B's exact `in` check — which
+            # needs no anchors — can decide. A truly-boilerplate pair (small
+            # shared region) stays rejected: its total match is small too.
+            all_members = np.sort(ps)
+            total_cov = int(np.minimum(np.diff(all_members), k).sum()) + k
+            if total_cov < n_short - 8 * k:
+                return False, starts
     return True, starts
 
 
@@ -495,6 +517,14 @@ def make_containment_udf(
     - ``(0, false)`` otherwise (candidates that merely share one
       fingerprint but hold no real containment, or pairs below
       ``min_len``).
+
+    ``min_len`` and the short/long orientation are measured in **UTF-8
+    bytes** — the same unit as the anchored two-phase path (whose window
+    coordinates are byte offsets) — so the fast path and this fallback
+    agree near the threshold and on mixed-script pairs (round-5 ADVICE:
+    the previous character-based orientation could pick the opposite
+    "shorter" side for non-ASCII content). Byte containment equals string
+    containment for valid UTF-8 (self-synchronizing encoding).
     """
 
     @F.pandas_udf("score int, verbatim boolean")
@@ -506,7 +536,9 @@ def make_containment_udf(
                 scores.append(0)
                 verbatim.append(False)
                 continue
-            short, long_ = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+            b1 = s1.encode("utf-8", "ignore")
+            b2 = s2.encode("utf-8", "ignore")
+            short, long_ = (b1, b2) if len(b1) <= len(b2) else (b2, b1)
             if len(short) < min_len:
                 scores.append(0)
                 verbatim.append(False)
@@ -554,11 +586,15 @@ def make_anchor_screen_udf(
 
     Verbatim-containment recall is preserved by construction: a verbatim
     pair's shared run is the whole short side, winnowed selections tile it
-    (gap <= w <= k), so coverage lands far above the screen threshold —
-    except when most of the short's gram VALUES also occur earlier in the
-    host (first-occurrence positions then vote wrong offsets). Shorts
-    <= 512 bytes bypass the screen entirely, and the pathological
-    repeated-material case is pinned by tests.
+    (gap <= w <= k), so coverage lands far above the screen threshold.
+    When most of the short's gram VALUES also occur earlier in the host
+    (first-occurrence positions then vote wrong offsets), the per-anchor
+    coverage collapses but the position-free total-match coverage stays
+    near-complete, and :func:`anchor_votes`' misanchor escape hatch passes
+    the pair through to phase B's exact containment check. Shorts
+    <= 512 bytes bypass the screen entirely. Both pathological cases
+    (scattered repeated material; boilerplate prefix out-voting the true
+    offset) are pinned by tests in tests/test_substring.py.
     """
 
     @F.pandas_udf("passes boolean, anchors array<int>")

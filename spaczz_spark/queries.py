@@ -37,7 +37,11 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
 )
 from .operators.matcher import Pattern, ruler
-from .operators.substring import containment_pairs
+from .operators.substring import (
+    containment_pairs,
+    substring_candidates,
+    verify_substring_pairs,
+)
 
 FIXTURE_ROOT = "/root/repo/fixtures"
 US = "\x1f"
@@ -193,11 +197,41 @@ band_e AS (
 
 
 def q_doc_exact_dups(spark, sf_dir):
-    return exact_duplicates(_docs(spark, sf_dir))
+    """Exact-dup groups over documents ∪ a deterministic planted twin set.
+
+    The sf0.01 documents table happens to contain no byte-identical pairs,
+    so the bare operator was oracle-checked only for emptiness (0 rows vs
+    0 rows since round 1 — round-5 VERDICT ask #2). Planting twins INSIDE
+    the query (doc_id offset by 10M, text unchanged, every 7th doc),
+    mirrored identically in the DuckDB oracle, makes the hash comparison
+    exercise real group formation: group_id = min(doc_id) = the original
+    id, group_size ≥ 2.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(twins))
 
 
 def q_doc_fingerprint_dups(spark, sf_dir):
-    return fingerprint_duplicates(_docs(spark, sf_dir))
+    """Fingerprint-dup groups over documents ∪ planted WHITESPACE-variant
+    twins (same non-vacuity rationale as :func:`q_doc_exact_dups`).
+
+    The twin doubles every space and appends one (pure-ASCII transform —
+    engine-identical in Spark and DuckDB, unlike case-folding which can
+    differ across engines for ß/Turkish-i), so it is NOT an exact
+    duplicate (sha differs whenever the text is non-empty) but normalizes
+    to the same fingerprint (lower + \\s+ collapse + trim) — exercising
+    exactly the formatting-insensitivity this operator exists for.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.replace(F.col("text"), F.lit(" "), F.lit("  ")), F.lit(" "))
+        .alias("text"),
+    )
+    return fingerprint_duplicates(d.unionByName(twins))
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
@@ -413,6 +447,50 @@ def q_files_substring_pairs(spark, sf_dir):
     ).withColumnsRenamed({"a_id": "a_key", "b_id": "b_key"})
 
 
+def q_files_substring_partial(spark, sf_dir):
+    """ORACLE-EXACT gate for the anchored partial_ratio path (round-5
+    VERDICT ask #1 — the one S2 semantic that was pytest-only).
+
+    Runs the PRODUCTION two-phase substring verify blind (fused
+    signatures -> winnowed-fingerprint candidates -> slim anchor/coverage
+    screen -> anchored InDel kernel) over the committed ``files_partial``
+    fixture, which plants substitution-only edited copies at known offsets
+    (see ``sources.corpus.generate_partial_corpus`` for why the engine's
+    window and score are provably ``host[off:off+n]`` and
+    ``100*(n-k)/n``). The DuckDB oracle recomputes the score from the
+    plant metadata with ``levenshtein`` over ``substr`` — equal to the
+    engine's InDel because substitutions from a disjoint alphabet make
+    ``indel_distance = 2*levenshtein`` exactly. Row equality checks BOTH
+    recall (every plant verified, ``verified_by='partial'``) and precision
+    (license-header noise candidates all screened/scored out).
+
+    Reference semantics: ``fuzz.partial_ratio``
+    (``registry/fuzzyfuncs.py:9``); engine kernel:
+    ``operators/substring.py`` (partial_ratio_from_positions).
+    """
+    f = spark.read.parquet(
+        os.path.join(FIXTURE_ROOT, "files_partial", "files.parquet")
+    ).withColumn("file_key", F.concat_ws(US, "repo", "path", "commit"))
+    from .functions.signatures import with_shingles_and_fingerprints
+
+    corpus = with_shingles_and_fingerprints(
+        f.select(
+            F.col("file_key").alias("file_id"),
+            "content",
+            F.octet_length("content").alias("n_bytes"),
+        )
+    ).repartition(spark.sparkContext.defaultParallelism, "file_id")
+    cand = substring_candidates(corpus)
+    return verify_substring_pairs(
+        cand, corpus, min_len=100, min_partial=75
+    ).select(
+        F.col("a_id").alias("a_key"),
+        F.col("b_id").alias("b_key"),
+        "edit_ratio",
+        "verified_by",
+    )
+
+
 def q_files_components(spark, sf_dir):
     """Jaccard + exact + containment edges -> connected components.
 
@@ -537,26 +615,70 @@ def q_emb_topk_ann(spark, sf_dir):
 
 def q_doc_ruler(spark, sf_dir):
     """Distributed SpaczzRuler (M1 fan-out + M4/M5 resolution) over an
-    exactly-mirrorable pattern set.
+    exactly-mirrorable pattern set covering ALL FOUR pattern types at once
+    (round-5 VERDICT ask #6): fuzzy, literal regex, fuzzy-regex, and token.
 
-    The fuzzy patterns use the engine's integer ``levenshtein`` ratio
-    (SQL-mirrorable by construction — see ratios.levenshtein_ratio) with
-    flex=0, and the regex pattern is a literal token phrase, so a DuckDB
-    oracle reproduces the kernel's token spans and ratios bit-for-bit.
-    The InDel/fuzzy-regex kernel paths of the ruler are pinned by pytest
-    goldens instead (non-SQL-expressible).
+    - The fuzzy patterns use the engine's integer ``levenshtein`` ratio
+      (SQL-mirrorable by construction — see ratios.levenshtein_ratio) with
+      flex=0; the literal regex pattern is a token bigram.
+    - TABLEISH is a real fregex pattern run through the production
+      ``regex_match`` path. Its form ``(?e)\\b(?:table){e<=1:[a-z]}\\b``
+      makes the oracle mirror exact: the ``[a-z]`` error class forbids
+      errors on the single-space separators and the ``\\b`` anchors force
+      full-token matches, so a token matches iff its unit-cost Levenshtein
+      distance to ``table`` is <= 1, with ratio
+      ``round(100 - 100*d/max(5, len(w)))`` by the same
+      decomposition-invariance argument as ``q_doc_fregex`` (lev weights:
+      cost = d, dist_max = max(implied source len, len(w)) = max(5,
+      len(w))). One honest caveat, empirically pinned: the ``regex``
+      module does not attempt leading-insertion full-token matches (e.g.
+      ``stable``); the corpus vocabulary (including the planted variants)
+      contains no such word, so engine and formula agree on every token
+      here. No .5 rounding cases arise (d=0 -> 100; d=1, len in {4,5} ->
+      exactly 80).
+    - QUERYISH is a token pattern with one FUZZY slot (M3): the span
+      ratio is the char-length-weighted mean of slot ratios, which for a
+      single slot is the integer levenshtein ratio itself.
+    - M4/M5 conflict resolution is NON-trivially exercised: at every
+      ``big table`` bigram both BIGTABLE (2 tokens, ratio 100) and
+      TABLEISH (1 token, ratio 100) match, and the greedy resolver
+      (length desc, start asc, ratio desc) keeps BIGTABLE and drops the
+      contained TABLEISH — the oracle mirrors the suppression with an
+      anti-join on the preceding token.
+    - Non-vacuity: the raw vocabulary's only lev<=1 word for either new
+      pattern is the exact word itself, so every-3rd-doc twins (doc_id
+      offset 10M) replace ``table``->``tble`` and ``query``->``qery``
+      (no other vocab word contains either as a substring), planting
+      ratio-80 rows for both new paths. The InDel kernel paths of the
+      ruler stay pinned by pytest goldens (non-SQL-expressible).
     """
+    import json as _json
+
     patterns = [
         Pattern("CUSTOMERISH", "custmer", "fuzzy",
                 {"min_r": 80, "flex": 0, "fuzzy_func": "levenshtein"}),
         Pattern("VEC", "vectr", "fuzzy",
                 {"min_r": 80, "flex": 0, "fuzzy_func": "levenshtein"}),
         Pattern("BIGTABLE", "big table", "regex", {}),
+        Pattern("TABLEISH", r"(?e)\b(?:table){e<=1:[a-z]}\b", "regex",
+                {"min_r": 75, "fuzzy_weights": "lev"}),
+        Pattern("QUERYISH",
+                _json.dumps([{"TEXT": {"FUZZY": "query", "MIN_R": 80,
+                                       "FUZZY_FUNC": "levenshtein"}}]),
+                "token", {}),
     ]
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = base.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.replace(
+            F.replace(F.col("text"), F.lit("table"), F.lit("tble")),
+            F.lit("query"), F.lit("qery"),
+        ).alias("text"),
+    )
     # the sf* documents table is one sub-MB parquet file -> one read
     # partition -> the matcher UDF would run serial; spread it first (at
     # real scale the source has many partitions and this is a no-op choice)
-    docs = _docs(spark, sf_dir).repartition(
+    docs = base.unionByName(twins).repartition(
         spark.sparkContext.defaultParallelism
     )
     return ruler(docs, patterns).select(
@@ -718,6 +840,7 @@ QUERIES = {
     "files_exact_groups": q_files_exact_groups,
     "files_neardup_pairs": q_files_neardup_pairs,
     "files_substring_pairs": q_files_substring_pairs,
+    "files_substring_partial": q_files_substring_partial,
     "files_components": q_files_components,
     "files_pipeline": q_files_pipeline,
     "files_incremental": q_files_incremental,
@@ -735,15 +858,26 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
 
 ORACLES = {
     "doc_exact_dups": """
-WITH h AS (SELECT doc_id, md5(text) AS sha FROM documents),
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+h AS (SELECT doc_id, md5(text) AS sha FROM docs2),
 g AS (SELECT sha, min(doc_id) AS group_id, count(*) AS group_size
       FROM h GROUP BY sha HAVING count(*) > 1)
 SELECT g.group_id, h.doc_id, g.group_size FROM h JOIN g USING (sha)
 """,
     "doc_fingerprint_dups": """
-WITH h AS (SELECT doc_id,
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, replace(text, ' ', '  ') || ' ' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+h AS (SELECT doc_id,
     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents),
+  FROM docs2),
 g AS (SELECT fp, min(doc_id) AS group_id, count(*) AS group_size
       FROM h GROUP BY fp HAVING count(*) > 1)
 SELECT g.group_id, h.doc_id, g.group_size FROM h JOIN g USING (fp)
@@ -878,6 +1012,35 @@ WITH f AS ({_SQL_FILES}),
 {_SQL_CONTAINMENT_BODY}
 SELECT a_key, b_key FROM contained
 """,
+    # files_substring_partial: recomputes the anchored partial score from
+    # the plant metadata (offset + base length). For substitution-only '~'
+    # edits, indel_distance(base, window) = 2*levenshtein(base, window)
+    # exactly, and the float expression mirrors ratios.indel_ratio's
+    # 100.0*(1.0 - dist/total) op-for-op (same IEEE doubles on both
+    # sides); exact-.5 rounding ties are excluded at fixture generation.
+    # Orientation: the engine emits candidate pairs with a_id < b_id, so
+    # both sides normalize with least/greatest.
+    "files_substring_partial": f"""
+WITH f AS (
+  SELECT repo || chr(31) || path || chr(31) || commit AS file_key, content
+  FROM read_parquet('{FIXTURE_ROOT}/files_partial/files.parquet')
+),
+p AS (
+  SELECT * FROM read_parquet('{FIXTURE_ROOT}/files_partial/plant.parquet')
+),
+scored AS (
+  SELECT least(p.a_key, p.b_key) AS a_key,
+         greatest(p.a_key, p.b_key) AS b_key,
+         round(100.0 * (1.0 -
+             (2.0 * levenshtein(a.content, substr(b.content, p.off + 1, p.n)))
+             / (length(a.content) + p.n)))::INT AS edit_ratio
+  FROM p
+  JOIN f a ON a.file_key = p.a_key
+  JOIN f b ON b.file_key = p.b_key
+)
+SELECT a_key, b_key, edit_ratio, 'partial' AS verified_by
+FROM scored WHERE edit_ratio >= 75
+""",
     "files_components": f"""
 WITH RECURSIVE
 {_SQL_FILES_SHINGLES},
@@ -938,13 +1101,25 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
     # doc_ruler: the documents fixture text is pure lowercase words + single
     # spaces, so the engine tokenizer == string_split; fuzzy ratios use the
     # integer levenshtein formula (exact in BIGINT arithmetic on both
-    # sides); the regex pattern is a literal token bigram. Pattern labels
-    # were chosen with disjoint match-token sets, so the ruler's greedy
-    # overlap resolution is the identity here.
+    # sides); the literal regex pattern is a token bigram. TABLEISH
+    # (fregex) mirrors per-token as round(100 - 100*d/max(5,len(w))) for
+    # d = levenshtein(w,'table') <= 1 (decomposition invariance under lev
+    # weights — see q_doc_ruler / q_doc_fregex docstrings), suppressed
+    # where the longer BIGTABLE span covers the token (greedy resolution:
+    # length desc). QUERYISH (token, one FUZZY slot) is the integer
+    # levenshtein ratio vs 'query'. Twins (doc_id+10M, every 3rd doc)
+    # plant 'tble'/'qery' so both new paths contribute ratio-80 rows.
     "doc_ruler": """
-WITH toks AS (
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         replace(replace(text, 'table', 'tble'), 'query', 'qery') AS text
+  FROM documents WHERE doc_id % 3 = 0
+),
+toks AS (
   SELECT doc_id, i, ws[i] AS w
-  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs2),
        unnest(range(1, len(ws) + 1)) AS r(i)
 ),
 fuzz AS (
@@ -969,10 +1144,32 @@ re AS (
          100::BIGINT AS ratio
   FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
   WHERE a.w = 'big' AND b.w = 'table'
+),
+fregex AS (
+  SELECT t.doc_id, 'TABLEISH' AS label, t.i - 1 AS start, t.i AS "end",
+         round(100 - 100.0 * levenshtein(t.w, 'table')
+               / greatest(5, length(t.w)))::BIGINT AS ratio
+  FROM toks t
+  LEFT JOIN toks p ON p.doc_id = t.doc_id AND p.i = t.i - 1
+  WHERE levenshtein(t.w, 'table') <= 1
+    AND NOT (t.w = 'table' AND coalesce(p.w, '') = 'big')
+),
+tokpat AS (
+  SELECT doc_id, 'QUERYISH' AS label, i - 1 AS start, i AS "end",
+         (200*(m - d) + m) // (2*m) AS ratio
+  FROM (SELECT doc_id, i,
+               greatest(length(w), 5)::BIGINT AS m,
+               levenshtein(w, 'query')::BIGINT AS d
+        FROM toks)
+  WHERE (200*(m - d) + m) // (2*m) >= 80
 )
 SELECT doc_id, label, start, "end", ratio FROM fuzz
 UNION ALL
 SELECT doc_id, label, start, "end", ratio FROM re
+UNION ALL
+SELECT doc_id, label, start, "end", ratio FROM fregex
+UNION ALL
+SELECT doc_id, label, start, "end", ratio FROM tokpat
 """,
     # files_pipeline: brute-force reconstruction of the pipeline's verified
     # edge set at the oracle-exact config (see q_files_pipeline docstring):

@@ -300,6 +300,108 @@ def generate_corpus(
     return CorpusBundle(files, truth_pairs, truth_components)
 
 
+def generate_partial_corpus(
+    n_negatives: int = 300,
+    n_planted: int = 40,
+    seed: int = 7,
+    every_bytes: int = 150,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Fixture for the ORACLE-EXACT partial_ratio gate (round-5 VERDICT #1).
+
+    Plants ``n_planted`` (base, host) pairs where the host embeds a copy of
+    the base edited with SUBSTITUTION-ONLY runs of ``~`` at deterministic
+    ~``every_bytes`` spacing. Substitutions from a disjoint alphabet make
+    the production anchored path *provably* equal to a DuckDB-expressible
+    formula:
+
+    - length is preserved, so every intact shared gram votes EXACTLY the
+      planted byte offset (zero indel drift) — the engine's top-voted
+      anchor window ``host[off : off+n]`` IS the edited copy;
+    - ``~`` never occurs in generated content, so the InDel kernel's
+      LCS(base, edited) = n - k exactly (edited positions can match
+      nothing), giving ``score = 100*(1 - 2k/2n) = 100*(n-k)/n``; and
+      unit-cost ``levenshtein(base, edited) = k`` exactly (each ``~``
+      needs one op; k substitutions suffice) — so DuckDB reproduces the
+      engine's float: ``100.0*(1.0 - 2.0*lev/(len_a + n))``.
+    - Exact-.5 rounding ties (the one Python-banker's vs SQL divergence)
+      are REMOVED at generation time: edit bytes are dropped one at a
+      time until ``100*(n-k)/n`` is not an exact half.
+
+    Bases are sized (700, 6000) bytes: above the 512-byte screen bypass
+    (so the coverage screen's PASS path is oracle-exercised) and below
+    CHAR_KERNEL_MAX (so the byte-level InDel kernel runs, not the
+    token-level fallback). Every third negative carries the license
+    header — real shared-gram candidate noise the phase-A screen must
+    reject (precision is checked by the oracle equality, not assumed).
+    All content is ASCII, so DuckDB's char-based ``length``/``substr``
+    coincide with the engine's byte coordinates.
+
+    Returns ``(files, plant)``: ``files`` in the standard corpus shape and
+    ``plant`` with (a_key, b_key, off, n, k) — byte offset of the edited
+    copy in the host, base length, and edit count. The plant table is
+    ORACLE metadata only; the engine query runs the production path blind.
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+
+    def add_file(path: str, lang: str, content: str) -> str:
+        assert content.isascii(), "oracle precondition: ASCII content"
+        assert "~" not in content or path.startswith("vendor/"), path
+        repo = f"org{rng.randint(0, 9)}/project{rng.randint(0, 19)}"
+        commit = _commit_of(rng)
+        rows.append(
+            {"repo": repo, "path": path, "commit": commit, "lang": lang,
+             "content": content}
+        )
+        return file_key(repo, path, commit)
+
+    for i in range(n_negatives):
+        lang = rng.choice(_LANGS)
+        content = _gen_content(rng, lang)
+        while len(content) < 3 * len(_LICENSE_HEADER):
+            content = _gen_content(rng, lang)
+        if i % 3 == 0:
+            content = _LICENSE_HEADER + content
+        add_file(f"src/neg_{i}.{lang[:2]}", lang, content)
+
+    plant_rows: list[dict] = []
+    for j in range(n_planted):
+        lang = rng.choice(_LANGS)
+        base = _gen_content(rng, lang, n_blocks=rng.randint(5, 8))
+        while not (700 <= len(base) <= 6000):
+            base = _gen_content(rng, lang, n_blocks=rng.randint(5, 8))
+        n = len(base)
+        run_len = rng.randint(1, 24)
+        edit_positions: list[int] = []
+        for start in range(every_bytes // 2, n - run_len, every_bytes):
+            edit_positions.extend(range(start, start + run_len))
+        # drop trailing edit bytes until the exact score is not an
+        # exact .5 (banker's-vs-half-up rounding divergence guard)
+        while edit_positions and (200 * (n - len(edit_positions))) % (2 * n) == n:
+            edit_positions.pop()
+        assert edit_positions, "degenerate plant: no edits survived"
+        k = len(edit_positions)
+        edited_b = bytearray(base.encode())
+        for p in edit_positions:
+            edited_b[p] = ord("~")
+        edited = edited_b.decode()
+        host_blocks = _gen_content(
+            rng, lang, n_blocks=rng.randint(15, 30)
+        ).split("\n\n")
+        host_blocks.insert(rng.randint(0, len(host_blocks)), edited)
+        host = "\n\n".join(host_blocks)
+        a_key = add_file(f"src/partial/base_{j}.{lang[:2]}", lang, base)
+        b_key = add_file(f"vendor/partial/host_{j}.{lang[:2]}", lang, host)
+        plant_rows.append(
+            {"a_key": a_key, "b_key": b_key, "off": host.index(edited),
+             "n": n, "k": k}
+        )
+
+    files = pd.DataFrame(rows)
+    plant = pd.DataFrame(plant_rows, columns=["a_key", "b_key", "off", "n", "k"])
+    return files, plant
+
+
 def corpus_digest(files: pd.DataFrame) -> str:
     """Order-insensitive sha256 digest of the corpus (determinism checks)."""
     h = hashlib.sha256()

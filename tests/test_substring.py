@@ -375,3 +375,166 @@ def test_two_phase_screen_passes_large_verbatim_containment():
     assert ok and starts
     # the top anchor is the true embedding offset
     assert abs(starts[0] - host.encode().index(base.encode())) <= 64
+
+
+# ---------------------------------------------------------------------------
+# round-6: adversarial screen cases (ADVICE medium + VERDICT ask #4)
+# ---------------------------------------------------------------------------
+
+
+def test_screen_passes_verbatim_with_repeated_material(spark):
+    """Misanchor escape hatch: a short (> 512 B, no bypass) VERBATIM-contained
+    in the host must verify even when nearly all its gram values first occur
+    SCATTERED earlier in the host — first-occurrence positions then vote
+    incoherent offsets, per-anchor coverage collapses, and before round 6 the
+    screen vetoed the pair so phase B's exact `in` check never ran."""
+    from pyspark.sql import functions as F
+
+    from spaczz_spark.functions.signatures import with_shingles_and_fingerprints
+    from spaczz_spark.operators.substring import (
+        anchor_votes,
+        verify_substring_pairs,
+        winnow_fingerprints_pos,
+    )
+
+    rng = random.Random(61)
+    # ~12 long lines; the short is their ordered concatenation (~1.3 KB)
+    lines = [_gen(rng, 14) for _ in range(12)]
+    short = "\n".join(lines)
+    shuffled = lines[:]
+    rng.shuffle(shuffled)
+    # host: the SAME lines scattered early (separated by junk so the short is
+    # not contained there), then filler, then the short verbatim
+    scattered = ""
+    for ln in shuffled:
+        scattered += ln + "\n" + _gen(rng, 6) + "\n"
+    host = scattered + _gen(rng, 60) + "\n" + short + "\n" + _gen(rng, 20)
+    assert short in host and len(short.encode()) > 512
+
+    # unit check: anchor_votes must pass the pair (misanchor escape hatch)
+    fs, ps = winnow_fingerprints_pos(short, 32, 32)
+    fl, pl = winnow_fingerprints_pos(host, 32, 32)
+    ok, _ = anchor_votes(
+        len(short.encode()), len(host.encode()), fs, ps, fl, pl,
+        k=32, min_partial=75,
+    )
+    assert ok, "screen vetoed a true verbatim containment (repeated material)"
+
+    # end-to-end: the two-phase production path must verify it as containment
+    corpus = with_shingles_and_fingerprints(
+        spark.createDataFrame([(1, short), (2, host)], ["file_id", "content"])
+        .withColumn("n_bytes", F.octet_length("content"))
+    )
+    pairs = spark.createDataFrame([(1, 2, "substring")], ["a_id", "b_id", "stage"])
+    out = verify_substring_pairs(
+        pairs, corpus, min_len=100, min_partial=75
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["verified_by"] == "containment"
+    assert out[0]["edit_ratio"] == 100
+
+
+def test_boilerplate_prefix_outvotes_true_offset():
+    """VERDICT ask #4 property: a short whose PREFIX is high-frequency
+    boilerplate (repeated many times early in the host, out-voting the true
+    offset) with the true edited embedding elsewhere must still verify: the
+    true offset's vote cluster lands among `starts`, and coverage is taken
+    over the best-covered anchor, not just starts[0]."""
+    from spaczz_spark.operators.substring import (
+        partial_ratio_from_positions,
+        winnow_fingerprints_pos,
+    )
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        boiler = _gen(rng, 40)  # ~350 B boilerplate prefix
+        unique = _gen(rng, 110)  # ~950 B unique tail
+        short = boiler + "\n" + unique
+        assert len(short.encode()) > 512
+        # host: many early copies of the boilerplate (wrong-offset votes),
+        # then the short embedded WITH edits
+        early = ("\n" + _gen(rng, 5) + "\n").join([boiler] * 6)
+        embedded = _spaced_edit(short, 50)
+        host = early + "\n" + _gen(rng, 50) + "\n" + embedded + "\n" + _gen(rng, 30)
+
+        sb, lb = short.encode(), host.encode()
+        fs, ps = winnow_fingerprints_pos(short, 32, 32)
+        fl, pl = winnow_fingerprints_pos(host, 32, 32)
+        score = partial_ratio_from_positions(
+            sb, lb, fs, ps, fl, pl, k=32, min_partial=75
+        )
+        assert score >= 75.0, f"seed {seed}: planted edited embedding missed"
+
+
+def test_coverage_screen_still_rejects_boilerplate_after_round6():
+    """The misanchor escape hatch must NOT weaken the screen's purpose: a
+    pair sharing only a small boilerplate block (short >> shared region)
+    stays rejected — its total matched coverage is small too."""
+    from spaczz_spark.operators.substring import (
+        anchor_votes,
+        winnow_fingerprints_pos,
+    )
+
+    rng = random.Random(77)
+    boiler = _gen(rng, 60)  # ~500 B shared block
+    doc_a = _gen(rng, 250) + "\n" + boiler + "\n" + _gen(rng, 250)
+    doc_b = _gen(rng, 300) + "\n" + boiler + "\n" + _gen(rng, 200)
+    a, b = (doc_a, doc_b) if len(doc_a.encode()) <= len(doc_b.encode()) else (doc_b, doc_a)
+    fs, ps = winnow_fingerprints_pos(a, 32, 32)
+    fl, pl = winnow_fingerprints_pos(b, 32, 32)
+    ok, _ = anchor_votes(
+        len(a.encode()), len(b.encode()), fs, ps, fl, pl, k=32, min_partial=75
+    )
+    assert not ok
+
+
+# ---------------------------------------------------------------------------
+# round-6: oracle-exact partial fixture (files_substring_partial gate)
+# ---------------------------------------------------------------------------
+
+
+def test_partial_corpus_production_path_matches_formula(spark):
+    """The production two-phase substring verify over a small
+    generate_partial_corpus must output EXACTLY the planted pairs with
+    edit_ratio == round(100*(n-k)/n) — the same equality the driver's
+    files_substring_partial oracle checks at full fixture size (recall,
+    precision, and scores in one shot)."""
+    from pyspark.sql import functions as F
+
+    from spaczz_spark.functions.signatures import with_shingles_and_fingerprints
+    from spaczz_spark.operators.substring import (
+        substring_candidates,
+        verify_substring_pairs,
+    )
+    from spaczz_spark.sources.corpus import generate_partial_corpus
+
+    files, plant = generate_partial_corpus(
+        n_negatives=40, n_planted=6, seed=13
+    )
+    f = spark.createDataFrame(files).withColumn(
+        "file_key", F.concat_ws("\x1f", "repo", "path", "commit")
+    )
+    corpus = with_shingles_and_fingerprints(
+        f.select(
+            F.col("file_key").alias("file_id"),
+            "content",
+            F.octet_length("content").alias("n_bytes"),
+        )
+    )
+    out = verify_substring_pairs(
+        substring_candidates(corpus), corpus, min_len=100, min_partial=75
+    ).collect()
+    got = {
+        (min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"])): r
+        for r in out
+    }
+    expected = {
+        (min(p.a_key, p.b_key), max(p.a_key, p.b_key)): round(
+            100.0 * (1.0 - (2 * p.k) / (p.n + p.n))
+        )
+        for p in plant.itertuples(index=False)
+    }
+    assert set(got) == set(expected)  # recall AND precision
+    for key, ratio in expected.items():
+        assert got[key]["edit_ratio"] == ratio
+        assert got[key]["verified_by"] == "partial"
