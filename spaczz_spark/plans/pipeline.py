@@ -252,6 +252,16 @@ class DedupPipeline:
 
         # ---- verification ---------------------------------------------------
         def build_verified():
+            # COMPOSITION CHOICE (measured, round 6): v1 and v2 are evaluated
+            # FUSED — one union job behind one write barrier — not as two
+            # localCheckpoint'ed jobs. The A/B on scale4
+            # (BENCH/ab_verify_composition_r6.json, interleaved min-of-2,
+            # identical 127,056-row outputs): fused 143.7s vs split 159.8s at
+            # local[4] (split pays two extra materialization barriers that
+            # parallel execution otherwise overlaps), and fused scales 4.17x
+            # (1->4 cores) vs split's 2.81x. Split's one win is the serial
+            # case (449s vs 600s at local[1] — memory-pressure relief), which
+            # production never runs.
             sim_cand = candidates.where(F.col("stage") != "substring")
             sub_cand = candidates.where(F.col("stage") == "substring")
             v1 = verify_pairs(
