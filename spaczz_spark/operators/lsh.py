@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -31,6 +33,15 @@ from pyspark.sql.window import Window
 from ..functions.signatures import pack_band_keys
 
 __all__ = ["minhash_candidates", "simhash_candidates", "pairs_from_buckets"]
+
+# Pair-enumeration physical strategy (round-6 A/B, see
+# BENCH/profile_candidates_r6.json): "grouped" collects each bucket's
+# members into a sorted array with ONE hash aggregation and enumerates
+# small-tier pairs as a pure projection (no window sort, no self-join);
+# "window" is the original count/min-over-window + self-join plan, kept
+# for the A/B evidence and as a fallback. Both produce the identical
+# pair set (parametrized tests pin it).
+PAIRS_IMPL = os.environ.get("SPARK_GRAFT_PAIRS_IMPL", "grouped")
 
 
 def pairs_from_buckets(
@@ -40,11 +51,13 @@ def pairs_from_buckets(
     n_salt: int = 16,
     star_cap: int = 4096,
     dedup: bool = True,
+    payload_col: str | None = None,
+    impl: str | None = None,
 ) -> DataFrame:
     """Enumerate candidate pairs from (bucket_key, file_id) rows.
 
     Three tiers by bucket size (skew handling, north-rule salting):
-    - <= bucket_cap: plain all-pairs self-join on the bucket key.
+    - <= bucket_cap: all-pairs within the bucket.
     - (bucket_cap, star_cap]: **salted** all-pairs — the left side is
       tagged ``salt = pmod(xxhash64(id), n_salt)``, the right side is
       replicated once per salt value, and the join key becomes
@@ -57,8 +70,167 @@ def pairs_from_buckets(
       this tier rare: it fires only for near-identical-but-not-equal
       mega-families.)
 
+    ``payload_col`` optionally carries a per-id column through the
+    enumeration so callers can filter pairs without re-joining the id
+    table twice (SimHash's exact hamming check); output then includes
+    ``a_pl``/``b_pl``. The payload must be functionally determined by
+    the id.
+
     Returns distinct (a_id, b_id) with a_id < b_id.
     """
+    impl = impl or PAIRS_IMPL
+    if impl == "grouped":
+        return _pairs_grouped(
+            buckets, bucket_cap, id_col, n_salt, star_cap, dedup, payload_col
+        )
+    return _pairs_window(
+        buckets, bucket_cap, id_col, n_salt, star_cap, dedup, payload_col
+    )
+
+
+def _pairs_grouped(
+    buckets: DataFrame,
+    bucket_cap: int,
+    id_col: str,
+    n_salt: int,
+    star_cap: int,
+    dedup: bool,
+    payload_col: str | None,
+) -> DataFrame:
+    """Grouped-array pair enumeration (the round-6 default).
+
+    ONE hash aggregation (``collect_list`` into a sorted members array)
+    replaces the window's shuffle+sort AND the small-tier self-join: for
+    buckets ≤ ``bucket_cap`` the pair set is a pure JVM projection
+    (``transform`` × ``slice`` over the sorted array), so the banded
+    table crosses the exchange once and is never sorted or joined. The
+    mid tier re-explodes only its (rare) oversized buckets into the same
+    salted join as the window plan; the large tier stars around
+    ``members[0]`` (== min, the array is sorted). Requires
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` to be
+    raised (recommended_session does) or the many-singleton-bucket agg
+    falls back to sort-based and the sort comes back.
+    """
+    member = (
+        F.struct(F.col(id_col).alias("fid"), F.col(payload_col).alias("pl"))
+        if payload_col
+        else F.col(id_col)
+    )
+    grouped = (
+        buckets.groupBy("bucket_key")
+        .agg(F.array_sort(F.collect_list(member)).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+
+    if payload_col:
+        pair_struct = (
+            "struct(x.fid AS a_id, y.fid AS b_id, x.pl AS a_pl, y.pl AS b_pl)"
+        )
+    else:
+        pair_struct = "struct(x AS a_id, y AS b_id)"
+    pair_cols = ["p.a_id", "p.b_id"] + (
+        ["p.a_pl", "p.b_pl"] if payload_col else []
+    )
+
+    small = grouped.where(F.size("members") <= bucket_cap)
+    small_pairs = (
+        small.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    f"y -> {pair_struct})))"
+                )
+            ).alias("p")
+        )
+        # the sorted array makes a_id <= b_id structural; strict < drops
+        # self-pairs from duplicate (bucket, id) input rows
+        .where(F.col("p.a_id") < F.col("p.b_id"))
+        .select(*pair_cols)
+    )
+
+    mid = grouped.where(
+        (F.size("members") > bucket_cap) & (F.size("members") <= star_cap)
+    ).select("bucket_key", F.explode("members").alias("m"))
+    mid_fid = F.col("m.fid") if payload_col else F.col("m")
+    mid_a = mid.select(
+        "bucket_key",
+        F.col("m").alias("ma"),
+        F.pmod(F.xxhash64(mid_fid), F.lit(n_salt)).alias("salt"),
+    )
+    mid_b = mid.select(
+        "bucket_key",
+        F.col("m").alias("mb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
+        .alias("salt"),
+    )
+    if payload_col:
+        mid_sel = [
+            F.col("ma.fid").alias("a_id"), F.col("mb.fid").alias("b_id"),
+            F.col("ma.pl").alias("a_pl"), F.col("mb.pl").alias("b_pl"),
+        ]
+        mid_lt = F.col("ma.fid") < F.col("mb.fid")
+    else:
+        mid_sel = [F.col("ma").alias("a_id"), F.col("mb").alias("b_id")]
+        mid_lt = F.col("ma") < F.col("mb")
+    mid_pairs = (
+        mid_a.join(mid_b, ["bucket_key", "salt"]).where(mid_lt).select(*mid_sel)
+    )
+
+    large = grouped.where(F.size("members") > star_cap)
+    large_pairs = (
+        large.select(
+            F.col("members")[0].alias("ma"),
+            F.explode(F.expr("slice(members, 2, size(members) - 1)")).alias(
+                "mb"
+            ),
+        )
+        .where(
+            (F.col("ma.fid") < F.col("mb.fid"))
+            if payload_col
+            else (F.col("ma") < F.col("mb"))
+        )
+        .select(*mid_sel)
+    )
+
+    out = small_pairs.unionByName(mid_pairs).unionByName(large_pairs)
+    if dedup:
+        out = (
+            out.groupBy("a_id", "b_id").agg(
+                F.first("a_pl").alias("a_pl"), F.first("b_pl").alias("b_pl")
+            )
+            if payload_col
+            else out.distinct()
+        )
+    return out
+
+
+def _pairs_window(
+    buckets: DataFrame,
+    bucket_cap: int,
+    id_col: str,
+    n_salt: int,
+    star_cap: int,
+    dedup: bool,
+    payload_col: str | None,
+) -> DataFrame:
+    """Original window-sizing + self-join enumeration (pre-round-6 plan)."""
+    if payload_col:
+        ids = _pairs_window(
+            buckets, bucket_cap, id_col, n_salt, star_cap, dedup, None
+        )
+        pl = buckets.select(
+            F.col(id_col).alias("fid"), F.col(payload_col).alias("pl")
+        ).distinct()
+        return (
+            ids.join(
+                pl.select(F.col("fid").alias("a_id"), F.col("pl").alias("a_pl")),
+                "a_id",
+            ).join(
+                pl.select(F.col("fid").alias("b_id"), F.col("pl").alias("b_pl")),
+                "b_id",
+            )
+        )
     w = Window.partitionBy("bucket_key")
     sized = buckets.select(
         "bucket_key",
@@ -159,13 +331,15 @@ def simhash_candidates(
         "simhash",
         F.explode(F.array(*block_keys)).alias("bucket_key"),
     )
-    pairs = pairs_from_buckets(blocks, bucket_cap, dedup=dedup)
-    sig = sig_df.select("file_id", "simhash")
+    # the simhash rides through the enumeration as a payload so the exact
+    # hamming check is a filter on the pair row itself — no re-join of the
+    # pair set against the signature table (was two joins pre-round-6)
+    pairs = pairs_from_buckets(
+        blocks, bucket_cap, dedup=dedup, payload_col="simhash"
+    )
     return (
-        pairs.join(sig.withColumnsRenamed({"file_id": "a_id", "simhash": "a_sim"}), "a_id")
-        .join(sig.withColumnsRenamed({"file_id": "b_id", "simhash": "b_sim"}), "b_id")
-        .where(
-            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))) <= max_hamming
+        pairs.where(
+            F.bit_count(F.col("a_pl").bitwiseXOR(F.col("b_pl"))) <= max_hamming
         )
         .select("a_id", "b_id")
         .withColumn("stage", F.lit("simhash"))

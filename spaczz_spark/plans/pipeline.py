@@ -71,6 +71,17 @@ def recommended_session(
         .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # the grouped pair enumeration (operators/lsh.py) aggregates the
+        # banded table into per-bucket member arrays; Spark's default
+        # ObjectHashAggregate fallback threshold (128 keys per partition)
+        # would immediately demote that to sort-based aggregation and
+        # re-pay the sort the plan exists to avoid. Buckets are capped
+        # (star tier), so per-group state is tiny; 4M keys/partition is
+        # ~100MB worst case.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "4000000",
+        )
         # local mode: driver == executor. 16g is right for sf<=0.1 workloads;
         # a bigger heap (24g) only pays off on the 280k-file scaling corpus,
         # where GC pressure on the pair-verify join breaks wall-clock scaling
