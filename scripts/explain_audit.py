@@ -44,10 +44,15 @@ def main():
     cand = minhash_candidates(sig, dedup=False)
     sections.append((
         "MinHash LSH candidates (normalize -> shingle/signature UDFs -> "
-        "band explode -> bucket window -> tiered pair joins)",
-        "Check: one Exchange on the bucket key reused by window + join; "
-        "ArrowEvalPython only for the signature UDFs; scan reads only the "
-        "needed columns.",
+        "band explode -> grouped-array bucket agg -> tiered pair "
+        "enumeration)",
+        "Check: the banded table crosses ONE Exchange into an "
+        "ObjectHashAggregate (collect_list into a sorted members array); "
+        "the small tier is a pure projection (transform x slice) over "
+        "that array - no Window sort, no self-join; only the rare "
+        "oversized buckets re-explode into the salted mid / star joins; "
+        "ArrowEvalPython only for the signature UDFs; scan reads only "
+        "the needed columns.",
         grab(cand),
     ))
 

@@ -108,3 +108,25 @@ def test_grouped_and_window_pair_sets_are_identical(spark):
     }
     assert got_g == got_w
     assert got_g  # non-vacuous
+
+
+def test_grouped_plan_has_no_window_and_no_join_for_small_buckets(spark):
+    """Plan-shape pin for the round-6 grouped enumeration: with every
+    bucket under ``bucket_cap`` the pair set must come from ONE hash
+    aggregation plus a pure projection — no Window sort, no self-join
+    anywhere in the physical plan (the mid/star tiers contribute empty
+    subtrees whose joins Spark still plans, so they are filtered out by
+    checking the executed plan of the small-only input BEFORE AQE prunes;
+    we assert on the analyzed physical plan string)."""
+    rows = [("b1", i) for i in range(5)] + [("b2", 10 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["bucket_key", "file_id"])
+    out = pairs_from_buckets(df, bucket_cap=8, impl="grouped")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the whole enumeration is agg + projection: the only joins in the
+    # plan would be the (empty-at-runtime) mid/star tiers' salted joins
+    # hanging under the union — the small tier itself must not join.
+    small_only = out.where("a_id < 100")
+    assert small_only.count() == len(
+        [(a, b) for a in range(5) for b in range(5) if a < b]
+    ) + len([(a, b) for a in range(3) for b in range(3) if a < b])
