@@ -38,6 +38,7 @@ __all__ = [
     "with_shingles",
     "minhash_coefficients",
     "with_signatures",
+    "with_fused_signatures",
     "pack_band_keys",
 ]
 
@@ -348,6 +349,177 @@ def with_signatures(
     mh = make_minhash_udf(num_perm, seed)
     sh = make_simhash_udf()
     return df.withColumns({"minhash": mh("shingles"), "simhash": sh("shingles")})
+
+
+def make_fused_signature_udf(
+    k: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+    fp_k: int | None = None,
+    fp_w: int | None = None,
+    fp_min_bytes: int | None = None,
+):
+    """Fully-fused pandas UDF: content -> every per-row signature in ONE
+    Arrow pass (shingles, MinHash-128, SimHash-64, and — when ``fp_k`` is
+    set — winnowed substring fingerprints + byte positions).
+
+    Why one pass instead of composing :func:`make_shingle_fp_udf` with
+    :func:`with_signatures` (the round-5 shape):
+
+    1. **Deadlock.** The composed shape compiles to TWO chained
+       ArrowEvalPython nodes inside one stage. Spark 4's PythonRunner
+       services each worker socket from the task thread with a selector;
+       with two pipelined runners per task the thread can end up
+       select()-ing on the downstream worker while BOTH workers are
+       blocked in ``tcp_sendmsg`` (their 4 MB socket send buffers full)
+       and the upstream's output goes undrained — observed live on the
+       560k-file corpus (stage stuck 20+ min at 0 CPU, jstack:
+       ``BasePythonRunner$ReaderInputStream.read`` epoll-wait; both
+       pyspark.daemon workers in ``sk_stream_wait_memory``). Shingle
+       arrays are the fattest per-row payload in the engine, so this
+       stage is exactly where the buffers fill. One ArrowEvalPython node
+       = one worker per task = the cycle cannot form.
+    2. **Boundary bytes.** Composed, the shingle array crosses the
+       JVM<->Python boundary three times (out of the shingle UDF, back in
+       for MinHash and SimHash). Fused it crosses once — at 100 TB the
+       shingle stream is the dominant Arrow traffic, so this is a ~2x cut
+       in serialization for the signature stage.
+
+    Bit-identity with the composed path is pinned by
+    ``tests/test_fused_signatures.py`` (same uint64 k-gram accumulator,
+    same ``np.unique``/int64 reinterpretation, same multiply-shift
+    MinHash and bit-vote SimHash kernels).
+    """
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    token_re = _re.compile(TOKEN_PATTERN)
+    A = np.uint64(0x9E3779B97F4A7C15)
+    a_co, b_co = minhash_coefficients(num_perm, seed)
+    with_fp = fp_k is not None
+    if with_fp:
+        from ..operators.substring import winnow_fingerprints_pos
+
+    fields = [
+        StructField("shingles", ArrayType(LongType())),
+        StructField("minhash", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+    ]
+    if with_fp:
+        fields += [
+            StructField("fingerprints", ArrayType(LongType())),
+            StructField("fp_positions", ArrayType(IntegerType())),
+        ]
+    out_type = StructType(fields)
+
+    @F.pandas_udf(out_type)
+    def fused_signature(content: pd.Series) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                    "little",
+                )
+                cache[t] = v
+            return v
+
+        empty = np.array([], dtype=np.int64)
+        empty32 = np.array([], dtype=np.int32)
+        mh_empty = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        sh_out, mh_out, fp_out, pos_out = [], [], [], []
+        sim_out = np.zeros(len(content), dtype=np.int64)
+        for i, text in enumerate(content):
+            toks = token_re.findall(text.lower()) if text else []
+            n = len(toks)
+            if n == 0:
+                sh_out.append(empty)
+                mh_out.append(mh_empty)
+            else:
+                h = np.fromiter(
+                    (tok_hash(t) for t in toks), dtype=np.uint64, count=n
+                )
+                if n < k:
+                    acc = h[:1].copy()
+                    for j in range(1, n):
+                        acc = acc * A + h[j : j + 1]
+                else:
+                    m = n - k + 1
+                    acc = h[:m].copy()
+                    for j in range(1, k):
+                        acc = acc * A + h[j : j + m]
+                # identical int64 reinterpretation as make_shingle_fp_udf,
+                # then the exact make_minhash_udf / make_simhash_udf kernels
+                # over the same values
+                sh = np.unique(acc).astype(np.int64)
+                sh_out.append(sh)
+                s = sh.astype(np.uint64)
+                hashed = s[:, None] * a_co[None, :] + b_co[None, :]
+                mh_out.append(hashed.min(axis=0).astype(np.int64))
+                bits_m = (s[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = 2 * bits_m.astype(np.int64).sum(axis=0) - len(s)
+                sig_bits = (votes > 0).astype(np.uint64)
+                sim_out[i] = (
+                    (sig_bits << bit_idx).sum(dtype=np.uint64).astype(np.int64)
+                )
+            if with_fp:
+                if (
+                    text
+                    and len(text.encode("utf-8", errors="ignore"))
+                    >= fp_min_bytes
+                ):
+                    vals, pos = winnow_fingerprints_pos(text, fp_k, fp_w)
+                    fp_out.append(vals)
+                    pos_out.append(pos)
+                else:
+                    fp_out.append(empty)
+                    pos_out.append(empty32)
+        cols = {"shingles": sh_out, "minhash": mh_out, "simhash": sim_out}
+        if with_fp:
+            cols["fingerprints"] = fp_out
+            cols["fp_positions"] = pos_out
+        return pd.DataFrame(cols)
+
+    # asNondeterministic stops CollapseProject from inlining the struct into
+    # its field references and re-running the UDF per extracted field (same
+    # Catalyst double-eval guard as make_shingle_fp_udf / the InDel kernel)
+    return fused_signature.asNondeterministic()
+
+
+def with_fused_signatures(
+    df: DataFrame,
+    k: int = 3,
+    num_perm: int = 128,
+    seed: int = 42,
+    fp_k: int | None = None,
+    fp_w: int | None = None,
+    fp_min_bytes: int | None = None,
+) -> DataFrame:
+    """Add all signature columns via the single-pass fused UDF (see
+    :func:`make_fused_signature_udf`). With ``fp_k`` set, also adds
+    ``fingerprints`` (with the winnowing-parameter metadata that
+    ``substring_candidates`` validates) and ``fp_positions``."""
+    udf = make_fused_signature_udf(k, num_perm, seed, fp_k, fp_w, fp_min_bytes)
+    cols = {
+        "shingles": F.col("_sig.shingles"),
+        "n_shingles": F.size("_sig.shingles"),
+        "minhash": F.col("_sig.minhash"),
+        "simhash": F.col("_sig.simhash"),
+    }
+    if fp_k is not None:
+        cols["fingerprints"] = F.col("_sig.fingerprints").alias(
+            "fingerprints",
+            metadata={
+                "fp_k": fp_k, "fp_w": fp_w, "fp_min_bytes": fp_min_bytes,
+            },
+        )
+        cols["fp_positions"] = F.col("_sig.fp_positions")
+    return df.withColumn("_sig", udf("content")).withColumns(cols).drop("_sig")
 
 
 def pack_band_keys(bands: int, rows: int) -> Column:

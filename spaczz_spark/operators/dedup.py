@@ -24,8 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.signatures import (
     SHINGLE_SEP,
     TOKEN_PATTERN,
-    with_shingles,
-    with_signatures,
+    with_fused_signatures,
 )
 from .lsh import minhash_candidates, simhash_candidates
 
@@ -156,7 +155,10 @@ def _docs_with_signatures(
     base = docs.select(
         F.col(id_col).alias("file_id"), F.col(text_col).alias("content")
     )
-    return with_signatures(with_shingles(base, k), num_perm, seed)
+    # fused single-pass UDF: one ArrowEvalPython node (no chained-runner
+    # deadlock shape, shingles cross the Arrow boundary once — see
+    # functions.signatures.make_fused_signature_udf)
+    return with_fused_signatures(base, k, num_perm, seed)
 
 
 def _verify_jaccard(

@@ -34,11 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.signatures import (
-    normalize,
-    with_shingles_and_fingerprints,
-    with_signatures,
-)
+from ..functions.signatures import normalize, with_fused_signatures
 from ..operators.components import attach_components, connected_components
 from ..operators.lsh import minhash_candidates, simhash_candidates
 from ..operators.substring import substring_candidates, verify_substring_pairs
@@ -213,15 +209,17 @@ class DedupPipeline:
 
         # ---- signatures -----------------------------------------------------
         def build_signatures():
-            # fused single Arrow pass over content: shingles + winnowed
-            # substring fingerprints together (content is serialized to
-            # Python once, and the candidate stage downstream becomes pure
-            # JVM explode/join work)
-            shingled = with_shingles_and_fingerprints(
-                reps, cfg.shingle_k, cfg.substring_k, cfg.substring_w,
-                cfg.substring_min_len,
-            )
-            return with_signatures(shingled, cfg.num_perm, cfg.seed).select(
+            # ONE Arrow pass over content for every per-row signature
+            # (shingles + winnowed fingerprints + MinHash + SimHash): a
+            # single ArrowEvalPython node, so content serializes to Python
+            # once, shingles cross the boundary once, the candidate stage
+            # downstream is pure JVM explode/join work — and the chained
+            # two-runner deadlock the composed shape could hit at scale
+            # cannot form (see make_fused_signature_udf)
+            return with_fused_signatures(
+                reps, cfg.shingle_k, cfg.num_perm, cfg.seed,
+                cfg.substring_k, cfg.substring_w, cfg.substring_min_len,
+            ).select(
                 "file_id", "content_sha256", "content", "n_bytes",
                 "shingles", "n_shingles", "fingerprints", "fp_positions",
                 "minhash", "simhash",

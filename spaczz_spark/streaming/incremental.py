@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.signatures import normalize, with_shingles, with_signatures
+from ..functions.signatures import normalize, with_fused_signatures
 from ..operators.lsh import minhash_candidates
 from ..operators.verify import verify_pairs
 from ..plans.config import DedupConfig
@@ -53,8 +53,11 @@ class IncrementalDedup:
 
     def _signature_cols(self, files: DataFrame) -> DataFrame:
         cfg = self.config
-        shingled = with_shingles(normalize(files), cfg.shingle_k)
-        return with_signatures(shingled, cfg.num_perm, cfg.seed).select(
+        # fused single-pass signature UDF — same kernels (bit-identical
+        # signatures) as the batch pipeline, one ArrowEvalPython node
+        return with_fused_signatures(
+            normalize(files), cfg.shingle_k, cfg.num_perm, cfg.seed
+        ).select(
             "file_id", "content_sha256", "content", "n_bytes",
             "shingles", "n_shingles", "minhash", "simhash",
         )
