@@ -27,7 +27,10 @@ def main():
     from pyspark.sql import functions as F
 
     from spaczz_spark import queries as Q
-    from spaczz_spark.functions.signatures import normalize, with_shingles, with_signatures
+    from spaczz_spark.functions.signatures import (
+        normalize,
+        with_fused_signatures,
+    )
     from spaczz_spark.operators.lsh import minhash_candidates
     from spaczz_spark.operators.verify import verify_pairs
     from spaczz_spark.plans.pipeline import recommended_session
@@ -40,19 +43,21 @@ def main():
     sections = []
 
     files = Q._files(spark, sf)
-    sig = with_signatures(with_shingles(normalize(files)))
+    sig = with_fused_signatures(normalize(files))
     cand = minhash_candidates(sig, dedup=False)
     sections.append((
-        "MinHash LSH candidates (normalize -> shingle/signature UDFs -> "
+        "MinHash LSH candidates (normalize -> fused signature UDF -> "
         "band explode -> grouped-array bucket agg -> tiered pair "
         "enumeration)",
-        "Check: the banded table crosses ONE Exchange into an "
+        "Check: exactly ONE ArrowEvalPython node computes every per-row "
+        "signature (the composed shingle->minhash/simhash chain would be "
+        "two pipelined Python runners per task - the deadlock shape); "
+        "the banded table crosses ONE Exchange into an "
         "ObjectHashAggregate (collect_list into a sorted members array); "
         "the small tier is a pure projection (transform x slice) over "
         "that array - no Window sort, no self-join; only the rare "
         "oversized buckets re-explode into the salted mid / star joins; "
-        "ArrowEvalPython only for the signature UDFs; scan reads only "
-        "the needed columns.",
+        "scan reads only the needed columns.",
         grab(cand),
     ))
 
@@ -65,15 +70,14 @@ def main():
         grab(verified),
     ))
 
-    from spaczz_spark.functions.signatures import (
-        with_shingles_and_fingerprints,
-    )
     from spaczz_spark.operators.substring import (
         substring_candidates,
         verify_substring_pairs,
     )
 
-    sigf = with_signatures(with_shingles_and_fingerprints(normalize(files)))
+    sigf = with_fused_signatures(
+        normalize(files), fp_k=32, fp_w=32, fp_min_bytes=100
+    )
     subv = verify_substring_pairs(
         substring_candidates(sigf), sigf, min_partial=75
     )

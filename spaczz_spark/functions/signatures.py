@@ -416,34 +416,53 @@ def make_fused_signature_udf(
 
     @F.pandas_udf(out_type)
     def fused_signature(content: pd.Series) -> pd.DataFrame:
-        cache: dict[str, int] = {}
-
-        def tok_hash(t: str) -> int:
-            v = cache.get(t)
-            if v is None:
-                v = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                    "little",
-                )
-                cache[t] = v
-            return v
+        blake2b = hashlib.blake2b
 
         empty = np.array([], dtype=np.int64)
         empty32 = np.array([], dtype=np.int32)
         mh_empty = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
         bit_idx = np.arange(64, dtype=np.uint64)
+
+        # batch-vectorized token hashing: tokenize every row, factorize the
+        # whole batch's token stream once (C-speed), blake2b only the
+        # UNIQUE tokens, then gather — replaces ~1M per-token dict lookups
+        # per batch with one factorize + a few thousand hashes. Values are
+        # bit-identical to the per-row path (same blake2b per token).
+        tok_lists = [
+            token_re.findall(t.lower()) if t else [] for t in content
+        ]
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total:
+            flat: list[str] = []
+            for t in tok_lists:
+                flat.extend(t)
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.fromiter(
+                (
+                    int.from_bytes(
+                        blake2b(u.encode(), digest_size=8).digest(), "little"
+                    )
+                    for u in uniques
+                ),
+                dtype=np.uint64,
+                count=len(uniques),
+            )
+            all_h = uh[codes]
+        offsets = np.zeros(len(content) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+
         sh_out, mh_out, fp_out, pos_out = [], [], [], []
         sim_out = np.zeros(len(content), dtype=np.int64)
         for i, text in enumerate(content):
-            toks = token_re.findall(text.lower()) if text else []
-            n = len(toks)
+            n = int(lens[i])
             if n == 0:
                 sh_out.append(empty)
                 mh_out.append(mh_empty)
             else:
-                h = np.fromiter(
-                    (tok_hash(t) for t in toks), dtype=np.uint64, count=n
-                )
+                h = all_h[offsets[i] : offsets[i + 1]]
                 if n < k:
                     acc = h[:1].copy()
                     for j in range(1, n):

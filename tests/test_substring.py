@@ -538,3 +538,46 @@ def test_partial_corpus_production_path_matches_formula(spark):
     for key, ratio in expected.items():
         assert got[key]["edit_ratio"] == ratio
         assert got[key]["verified_by"] == "partial"
+
+
+def test_sliding_first_argmin_matches_strided_argmin():
+    """The blocked O(n) windowed first-argmin (used above
+    _ARGMIN_BLOCKED_MIN_N) is exactly sliding_window_view(...).argmin —
+    including first-index tie-breaking on heavily repeated values, which
+    is what keeps fp_positions bit-identical whichever path fires."""
+    import numpy as np
+
+    from spaczz_spark.operators.substring import _sliding_first_argmin
+
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        n = int(rng.randint(33, 500))
+        w = int(rng.choice([2, 3, 8, 32, 33]))
+        if n <= w:
+            continue
+        # small alphabets force many ties inside every window
+        hi = int(rng.choice([3, 10, 2**63]))
+        h = rng.randint(0, hi, size=n).astype(np.uint64)
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        want = wins.argmin(axis=1) + np.arange(len(wins))
+        got = _sliding_first_argmin(h, w)
+        assert np.array_equal(got, want), (n, w, hi)
+
+
+def test_winnow_identical_across_argmin_paths(monkeypatch):
+    """Forcing the blocked path on ordinary-size documents yields exactly
+    the same (values, positions) as the default strided path."""
+    import numpy as np
+
+    from spaczz_spark.operators import substring as sub
+
+    texts = [
+        ("x = %d\n" % i) * 40 + "def f_%d(): return %d\n" % (i, i) * 10
+        for i in range(50)
+    ]
+    base = [sub.winnow_fingerprints_pos(t, 32, 32) for t in texts]
+    monkeypatch.setattr(sub, "_ARGMIN_BLOCKED_MIN_N", 0)
+    forced = [sub.winnow_fingerprints_pos(t, 32, 32) for t in texts]
+    for (v1, p1), (v2, p2) in zip(base, forced):
+        assert np.array_equal(v1, v2)
+        assert np.array_equal(p1, p2)
