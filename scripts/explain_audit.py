@@ -47,17 +47,16 @@ def main():
     cand = minhash_candidates(sig, dedup=False)
     sections.append((
         "MinHash LSH candidates (normalize -> fused signature UDF -> "
-        "band explode -> grouped-array bucket agg -> tiered pair "
-        "enumeration)",
+        "band explode -> bucket window -> tiered pair joins)",
         "Check: exactly ONE ArrowEvalPython node computes every per-row "
         "signature (the composed shingle->minhash/simhash chain would be "
         "two pipelined Python runners per task - the deadlock shape); "
-        "the banded table crosses ONE Exchange into an "
-        "ObjectHashAggregate (collect_list into a sorted members array); "
-        "the small tier is a pure projection (transform x slice) over "
-        "that array - no Window sort, no self-join; only the rare "
-        "oversized buckets re-explode into the salted mid / star joins; "
-        "scan reads only the needed columns.",
+        "one Exchange on the bucket key reused by the sizing window and "
+        "the tiered self-joins (window impl - it beat the grouped-array "
+        "aggregation 2.4-3.7x at scale4 and scales better, see "
+        "BENCH/profile_candidates_scale4.json); oversized buckets go "
+        "through the salted mid / star tiers; scan reads only the "
+        "needed columns.",
         grab(cand),
     ))
 

@@ -34,14 +34,20 @@ from ..functions.signatures import pack_band_keys
 
 __all__ = ["minhash_candidates", "simhash_candidates", "pairs_from_buckets"]
 
-# Pair-enumeration physical strategy (round-6 A/B, see
-# BENCH/profile_candidates_r6.json): "grouped" collects each bucket's
-# members into a sorted array with ONE hash aggregation and enumerates
-# small-tier pairs as a pure projection (no window sort, no self-join);
-# "window" is the original count/min-over-window + self-join plan, kept
-# for the A/B evidence and as a fallback. Both produce the identical
-# pair set (parametrized tests pin it).
-PAIRS_IMPL = os.environ.get("SPARK_GRAFT_PAIRS_IMPL", "grouped")
+# Pair-enumeration physical strategy. "window" (the default) is the
+# count/min-over-window + self-join plan; "grouped" collects each
+# bucket's members into a sorted array with one hash aggregation and
+# enumerates small-tier pairs as a pure projection. The grouped shape
+# looked cheaper on paper (no window sort, no self-join) but LOST the
+# round-6 scale4 A/B decisively (BENCH/profile_candidates_scale4.json,
+# 560k files, same checkpoint, identical pair counts): full stage 724s
+# vs window's 301s at local[2] and 390s vs 105s at local[8], and it
+# scales worse (1.86x vs 2.86x at 4x cores) — materializing per-bucket
+# member arrays pushes the many-singleton-bucket aggregation past the
+# ObjectHashAggregate hash budget into sort-based fallback, which
+# spills. Kept selectable for the profiler A/B; both impls produce the
+# identical pair set (parametrized tests pin it).
+PAIRS_IMPL = os.environ.get("SPARK_GRAFT_PAIRS_IMPL", "window")
 
 
 def pairs_from_buckets(

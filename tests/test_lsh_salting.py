@@ -1,8 +1,9 @@
 """Salted bucket pair enumeration: completeness across all three size tiers.
 
-Parametrized over BOTH physical strategies (round-6 ``grouped`` default
-and the original ``window`` plan) — the pair set must be identical, only
-the plan shape differs (grouped: one hash agg + projection; window:
+Parametrized over BOTH physical strategies (``window``, the production
+default — it won the round-6 scale4 A/B — and the ``grouped`` hash-agg
+projection plan kept for the profiler) — the pair set must be identical,
+only the plan shape differs (grouped: one hash agg + projection; window:
 count/min window + self-join).
 """
 
