@@ -225,9 +225,13 @@ def _pairs_window(
         ids = _pairs_window(
             buckets, bucket_cap, id_col, n_salt, star_cap, dedup, None
         )
+        # materialized once: referenced by BOTH side-joins below, and the
+        # distinct is itself a shuffle of the whole exploded bucket table —
+        # without the checkpoint it ran twice (same nondeterministic-
+        # upstream reuse blocker as `sized` above)
         pl = buckets.select(
             F.col(id_col).alias("fid"), F.col(payload_col).alias("pl")
-        ).distinct()
+        ).distinct().localCheckpoint()
         return (
             ids.join(
                 pl.select(F.col("fid").alias("a_id"), F.col("pl").alias("a_pl")),
@@ -244,6 +248,19 @@ def _pairs_window(
         F.count(F.lit(1)).over(w).alias("bsize"),
         F.min(id_col).over(w).alias("bmin"),
     )
+    # Materialize the sized table ONCE (r7 measurement): the three tier
+    # subtrees reference `sized` five times (small self-join x2, mid x2,
+    # large), and when the upstream contains a nondeterministic expression
+    # (every signature UDF is marked asNondeterministic to stop Catalyst
+    # double-eval) the subtrees are never canonically equal, so exchange
+    # reuse CANNOT fire and the whole explode->shuffle->window pipeline —
+    # including the Arrow signature UDF in the standalone operators — ran
+    # once per tier reference (7 ArrowEvalPython nodes in the
+    # doc_minhash_neardup plan, 5 Window sorts per bucket source in the
+    # pipeline candidates stage). One localCheckpoint replaces five
+    # recomputations; the slim (bucket_key, fid, bsize, bmin) schema keeps
+    # the materialized footprint small at any scale (~32 B/row).
+    sized = sized.localCheckpoint()
 
     small = sized.where(F.col("bsize").between(2, bucket_cap))
     small_pairs = (

@@ -760,6 +760,7 @@ def verify_substring_pairs(
     min_len: int = 100,
     min_partial: int | None = None,
     k: int = 32,
+    content_df: DataFrame | None = None,
 ) -> DataFrame:
     """Keep candidate pairs where one side is contained in the other.
 
@@ -793,15 +794,19 @@ def verify_substring_pairs(
         and "n_bytes" in corpus.columns
     )
     threshold = 100 if min_partial is None else min(min_partial, 100)
+    # ``content_df``: optional separate (file_id, content) source for the
+    # phase-B join — the pipeline passes its ``normalized`` table so the
+    # signatures checkpoint need not carry a second copy of the text
+    texts = content_df if content_df is not None else corpus
     if use_anchors:
         passed = screen_substring_pairs(
             pairs, corpus, min_len=min_len, min_partial=min_partial, k=k
         )
-        joined = attach_pair_sides(passed, corpus, ["content"])
+        joined = attach_pair_sides(passed, texts, ["content"])
         udf = make_windowed_containment_udf(min_len, min_partial)
         scored = udf("a_content", "b_content", "anchors")
     else:
-        joined = attach_pair_sides(pairs, corpus, ["content"])
+        joined = attach_pair_sides(pairs, texts, ["content"])
         udf = make_containment_udf(min_len, min_partial, k)
         scored = udf("a_content", "b_content")
     return (

@@ -155,6 +155,7 @@ def verify_pairs(
     jaccard_min: float = 0.7,
     jaccard_floor: float = 0.2,
     ratio_func: str = "indel",
+    content_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exactly score candidate pairs and keep the verified ones.
 
@@ -180,12 +181,20 @@ def verify_pairs(
        abort) join ``content`` and enter the Arrow InDel kernel — typically
        a small fraction of candidates, so the wide payload and the Python
        boundary both shrink by that factor.
+
+    ``content_df`` optionally names a separate (file_id, content) source
+    for the kernel phase — the pipeline passes its ``normalized`` table so
+    the signatures checkpoint does not have to carry (write + re-read) a
+    second copy of the corpus text.
     """
     scored = score_pairs_slim(
         pairs, corpus, jaccard_min=jaccard_min, jaccard_floor=jaccard_floor
     )
     return decided_pairs(scored, jaccard_min=jaccard_min).unionByName(
-        kernel_pairs(scored, corpus, min_r2=min_r2, ratio_func=ratio_func)
+        kernel_pairs(
+            scored, content_df if content_df is not None else corpus,
+            min_r2=min_r2, ratio_func=ratio_func,
+        )
     )
 
 

@@ -58,9 +58,10 @@ class DedupConfig:
     # layout
     shuffle_partitions: int = 32
     # checkpoint-layout version: folded into config_hash so schema changes
-    # to stage outputs (e.g. the fused fingerprints column in `signatures`)
+    # to stage outputs (e.g. r7: `content` dropped from the `signatures`
+    # checkpoint — verify joins text from `normalized` instead)
     # invalidate incompatible checkpoints from older engine builds
-    layout_version: int = 4
+    layout_version: int = 5
 
     def __post_init__(self):
         if self.bands * self.rows != self.num_perm:

@@ -215,17 +215,35 @@ class DedupPipeline:
             # once, shingles cross the boundary once, the candidate stage
             # downstream is pure JVM explode/join work — and the chained
             # two-runner deadlock the composed shape could hit at scale
-            # cannot form (see make_fused_signature_udf)
+            # cannot form (see make_fused_signature_udf).
+            #
+            # Layout (r7, guide §2.3 "shuffle keys and metadata instead of
+            # payloads"): the file_id repartition happens HERE, on the slim
+            # input (sha + content), and the checkpoint write skips its own
+            # exchange (prepartitioned=True) — previously the catalog
+            # repartitioned the 3-5x fatter UDF OUTPUT (shingles + minhash
+            # + fingerprints + a second copy of content: 169 MB shuffled
+            # for a 31 MB corpus at bench size). `content` itself is no
+            # longer checkpointed twice: the verify stages join text from
+            # the committed `normalized` table instead (content_df below).
+            pre = reps.select(
+                "file_id", "content_sha256", "content", "n_bytes"
+            ).repartition(self.spark.sparkContext.defaultParallelism, "file_id")
             return with_fused_signatures(
-                reps, cfg.shingle_k, cfg.num_perm, cfg.seed,
+                pre, cfg.shingle_k, cfg.num_perm, cfg.seed,
                 cfg.substring_k, cfg.substring_w, cfg.substring_min_len,
             ).select(
-                "file_id", "content_sha256", "content", "n_bytes",
+                "file_id", "content_sha256", "n_bytes",
                 "shingles", "n_shingles", "fingerprints", "fp_positions",
                 "minhash", "simhash",
             )
 
-        signatures = self._stage("signatures", build_signatures)
+        signatures = self._stage(
+            "signatures", build_signatures, prepartitioned=True
+        )
+        # slim content source for the verify stages' kernel/phase-B joins
+        # (pair ids are rep ids, a subset of normalized's file_ids)
+        content_df = norm.select("file_id", "content")
 
         # ---- candidates (three sources, ONE resumable checkpoint) ----------
         def build_candidates():
@@ -280,6 +298,7 @@ class DedupPipeline:
                 jaccard_min=cfg.jaccard_min,
                 jaccard_floor=cfg.jaccard_floor,
                 ratio_func=cfg.ratio_func,
+                content_df=content_df,
             )
             v2 = verify_substring_pairs(
                 sub_cand,
@@ -290,6 +309,7 @@ class DedupPipeline:
                 # oracle-exact config disables it (not SQL-expressible)
                 min_partial=min_r2 if cfg.substring_partial else None,
                 k=cfg.substring_k,
+                content_df=content_df,
             )
             allv = v1.unionByName(v2)
             # best record per pair (reference M4: keep max-ratio entry per key)

@@ -55,6 +55,7 @@ class CheckpointCatalog:
         input_fingerprint: str = "",
         partition_by: list[str] | None = None,
         metrics: dict | None = None,
+        prepartitioned: bool = False,
     ) -> DataFrame:
         """Commit a stage table; returns a reader over the committed data
         (so downstream stages consume the checkpoint, truncating lineage)."""
@@ -74,11 +75,24 @@ class CheckpointCatalog:
         # (tens of MB) would otherwise collapse to 1-2 read partitions under
         # maxPartitionBytes and serialize every UDF stage that follows. On
         # the Iceberg path this is bucket(file_id) table layout instead.
+        #
+        # ``prepartitioned=True`` skips the exchange: the builder already
+        # established the layout BEFORE its widening computation (e.g. the
+        # signatures stage repartitions the slim input by file_id and only
+        # then runs the Arrow UDF), so repartitioning here would shuffle
+        # the 3-5x fatter output a second time for nothing (guide §2.3:
+        # shuffle the lightweight proxy, not the payload).
         n_out = self.spark.sparkContext.defaultParallelism
-        if "file_id" in df.columns:
-            df = df.repartition(n_out, "file_id")
-        else:
-            df = df.repartition(n_out)
+        if not prepartitioned:
+            if "file_id" in df.columns:
+                df = df.repartition(n_out, "file_id")
+            elif "a_id" in df.columns:
+                # pair tables: hash layout on a_id — equivalent spread (ids
+                # are xxhash64 values) without round-robin repartition's
+                # mandatory local sort (sortBeforeRepartition, guide §2.5)
+                df = df.repartition(n_out, "a_id")
+            else:
+                df = df.repartition(n_out)
 
         # Lineage counters ride the write job itself via observe() — no
         # extra count pass over the committed table (north rule: per-stage
