@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.layout import ensure_min_partitions
 from .lsh import pairs_from_buckets
 
 __all__ = [
@@ -327,7 +328,8 @@ def lsh_cosine_pairs(
     if dim is None:
         first = docs.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    n = _normalized(docs, id_col, vec_col)
+    # single-file inputs scan as one partition, serializing the sketch UDF
+    n = _normalized(ensure_min_partitions(docs), id_col, vec_col)
     sketch = make_hyperplane_sketch_udf(dim, n_bits, n_tables, seed)
     buckets = n.select(
         F.col("vec_id").alias("file_id"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.layout import ensure_min_partitions
 from ..functions.signatures import (
     SHINGLE_SEP,
     TOKEN_PATTERN,
@@ -119,7 +120,7 @@ def ngram_jaccard_pairs(
     the classic set-similarity-join plan; k-token shingles keep the join
     selective. Output: (a_id, b_id, jaccard).
     """
-    sh = docs.select(
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.regexp_extract_all(
             F.lower(text_col), F.lit(TOKEN_PATTERN), 0
@@ -127,6 +128,10 @@ def ngram_jaccard_pairs(
     ).select(
         "doc_id", F.explode(shingle_strings(F.col("_toks"), k)).alias("shingle")
     )
+    # materialized once (r7): `sh` feeds the per-doc sizes aggregate AND
+    # both sides of the self-join; the interpreted tokenize+shingle
+    # transform is the expensive part and ran once per consumer subtree
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")
@@ -152,8 +157,12 @@ def _docs_with_signatures(
     docs: DataFrame, k: int, num_perm: int, seed: int,
     id_col: str, text_col: str,
 ) -> DataFrame:
-    base = docs.select(
-        F.col(id_col).alias("file_id"), F.col(text_col).alias("content")
+    # single-file inputs scan as ONE partition and would serialize the
+    # signature UDF on one task; no-op on well-partitioned inputs
+    base = ensure_min_partitions(
+        docs.select(
+            F.col(id_col).alias("file_id"), F.col(text_col).alias("content")
+        )
     )
     # fused single-pass UDF: one ArrowEvalPython node (no chained-runner
     # deadlock shape, shingles cross the Arrow boundary once — see

@@ -34,6 +34,12 @@ from ..functions.signatures import pack_band_keys
 
 __all__ = ["minhash_candidates", "simhash_candidates", "pairs_from_buckets"]
 
+# Materialize the bucket-sizing window table (and the payload map) once
+# per enumeration instead of recomputing it per tier reference — see the
+# comment at the localCheckpoint site. Toggleable for interleaved A/Bs on
+# a noisy host (same pattern as SPARK_GRAFT_PAIRS_IMPL below).
+MATERIALIZE_SIZED = os.environ.get("SPARK_GRAFT_PAIRS_MATERIALIZE", "1") != "0"
+
 # Pair-enumeration physical strategy. "window" (the default) is the
 # count/min-over-window + self-join plan; "grouped" collects each
 # bucket's members into a sorted array with one hash aggregation and
@@ -231,7 +237,9 @@ def _pairs_window(
         # upstream reuse blocker as `sized` above)
         pl = buckets.select(
             F.col(id_col).alias("fid"), F.col(payload_col).alias("pl")
-        ).distinct().localCheckpoint()
+        ).distinct()
+        if MATERIALIZE_SIZED:
+            pl = pl.localCheckpoint()
         return (
             ids.join(
                 pl.select(F.col("fid").alias("a_id"), F.col("pl").alias("a_pl")),
@@ -260,7 +268,8 @@ def _pairs_window(
     # pipeline candidates stage). One localCheckpoint replaces five
     # recomputations; the slim (bucket_key, fid, bsize, bmin) schema keeps
     # the materialized footprint small at any scale (~32 B/row).
-    sized = sized.localCheckpoint()
+    if MATERIALIZE_SIZED:
+        sized = sized.localCheckpoint()
 
     small = sized.where(F.col("bsize").between(2, bucket_cap))
     small_pairs = (

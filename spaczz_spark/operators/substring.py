@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from ..functions.layout import ensure_min_partitions
 from ..ratios import indel_ratio as _indel_ratio
 from .lsh import pairs_from_buckets
 from .verify import CHAR_KERNEL_MAX, attach_pair_sides
@@ -283,10 +284,14 @@ def containment_pairs(
     recall, same verified output) while shuffling ~w× fewer host rows:
     a 10 KB host emits ~600 fingerprints instead of ~10k anchors.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.length(text_col).alias("len"),
+    # single-file inputs scan as one partition, serializing the two Arrow
+    # fingerprint UDFs below on one task; no-op on well-partitioned inputs
+    base = ensure_min_partitions(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.length(text_col).alias("len"),
+        )
     )
 
     @F.pandas_udf(LongType())

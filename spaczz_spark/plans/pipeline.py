@@ -156,10 +156,18 @@ class DedupPipeline:
             self.metrics[f"{name}_resumed"] = 1
             return cached
         t0 = time.time()
-        df = build()
-        committed = self.catalog.write(
-            name, df, h, input_fingerprint=self._input_fp, **write_kwargs
-        )
+        # label every job of this stage (guide §1.5) — eager jobs inside
+        # build() (localCheckpoints) and the write job all carry the stage
+        # name in the UI / REST API, which is what the profiling harness
+        # groups wall time by
+        self.spark.sparkContext.setJobDescription(f"stage:{name}")
+        try:
+            df = build()
+            committed = self.catalog.write(
+                name, df, h, input_fingerprint=self._input_fp, **write_kwargs
+            )
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
         manifest = self.catalog.manifest(name) or {}
         self.metrics[f"{name}_rows"] = manifest.get("rows", -1)
         self.metrics[f"{name}_sec"] = round(time.time() - t0, 2)
@@ -275,7 +283,14 @@ class DedupPipeline:
             )
             return sim.unionByName(sub)
 
-        candidates = self._stage("candidate_pairs", build_candidates)
+        # prepartitioned: both union branches end in a hash exchange
+        # ((a_id, b_id) groupBy / distinct), so the catalog's write-side
+        # repartition would re-shuffle an already-laid-out table (r7:
+        # fewer exchanges == fewer jobs; at bench size the stage wall is
+        # job-count-bound, at scale the saved exchange is real bytes)
+        candidates = self._stage(
+            "candidate_pairs", build_candidates, prepartitioned=True
+        )
 
         # ---- verification ---------------------------------------------------
         def build_verified():
@@ -322,7 +337,11 @@ class DedupPipeline:
                 .drop("rn")
             )
 
-        verified = self._stage("verified_pairs", build_verified)
+        # prepartitioned: the best-per-pair window establishes an
+        # (a_id, b_id) hash layout right before the write
+        verified = self._stage(
+            "verified_pairs", build_verified, prepartitioned=True
+        )
 
         # ---- components ------------------------------------------------------
         def build_components():
@@ -352,7 +371,9 @@ class DedupPipeline:
             )
             return assigned.join(prov, "file_id", "left")
 
-        return self._stage("components", build_components)
+        # prepartitioned: the provenance left-join leaves the table hash
+        # partitioned by file_id already
+        return self._stage("components", build_components, prepartitioned=True)
 
     # -- metrics (M8) ----------------------------------------------------------
 

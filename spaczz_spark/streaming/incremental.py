@@ -67,7 +67,11 @@ class IncrementalDedup:
         """Process one micro-batch of new files; returns new verified pairs."""
         cfg = self.config
         _, min_r2, _ = cfg.resolved_ratios()
-        new_sigs = self._signature_cols(batch)
+        # materialized once (r7): referenced by the candidate join, the
+        # verify joins, the new-id semi-join and the final append — each
+        # reference re-ran the Arrow signature UDF over the batch (the
+        # nondeterministic marker blocks subtree reuse)
+        new_sigs = self._signature_cols(batch).localCheckpoint()
         existing = self._existing_signatures()
         corpus = (
             new_sigs if existing is None else existing.unionByName(new_sigs)
