@@ -132,6 +132,31 @@ def cosine_neardup_pairs(
     )
 
 
+# Corpora whose optimizer-estimated size is below this broadcast their
+# grouped inverted index (bucket_key -> member array) in the top-k
+# candidate stage instead of shuffle-joining exploded bucket rows — see
+# lsh_cosine_topk. Parameterized (bytes) so clusters can tune it; the
+# default mirrors the order of magnitude of Spark's own broadcast
+# threshold reasoning (the index is ~n_tables longs per corpus row).
+import os as _os
+
+ANN_BROADCAST_INDEX_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_ANN_BROADCAST_BYTES", str(32 << 20))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer-estimated size of ``df`` (same statistic Spark's planner
+    uses for broadcast decisions); 'unknown' maps to huge so callers fall
+    back to the shuffle plan."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - stats always exist in practice
+        return 1 << 62
+
+
 def _plane_matrix(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
     """Deterministic (dim, n_tables*n_bits) Gaussian hyperplane matrix —
     shared by the corpus sketch and the query multiprobe UDFs so both sides
@@ -275,10 +300,41 @@ def lsh_cosine_topk(
     q_buckets = q.select(
         "query_id", F.explode(probe("qvec")).alias("bucket_key")
     )
-    cand = q_buckets.join(c_buckets, "bucket_key")
-    if exclude_self:
-        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-    cand = cand.select("query_id", "neighbor_id").distinct()
+    if _plan_size_bytes(corpus) <= ANN_BROADCAST_INDEX_BYTES:
+        # Broadcast-index plan (r7, guide §3.1/§2.4): with a dense bucket
+        # config the exploded bucket join emits tables*(1+probes)*|bucket|
+        # rows per query (24.5M rows for 2,000 vectors at the production
+        # tuning) and the pair-level distinct then shuffles them — pure
+        # overhead when the whole inverted index fits in a broadcast.
+        # Instead: group the corpus side ONCE into (bucket_key, members),
+        # broadcast it, repartition only the slim probe rows by query_id
+        # (a few MB), and dedupe per query with array_distinct — the
+        # candidate SET is provably identical (union over probed buckets'
+        # members), no pair-level row ever crosses an exchange, and the
+        # query_id hash layout is reused by the top-k window below (no
+        # further exchange). Large corpora keep the shuffle plan.
+        cb_g = c_buckets.groupBy("bucket_key").agg(
+            F.collect_list("neighbor_id").alias("members")
+        )
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        cand = (
+            q_buckets.repartition(par, "query_id")
+            .join(F.broadcast(cb_g), "bucket_key")
+            .groupBy("query_id")
+            .agg(
+                F.array_distinct(
+                    F.flatten(F.collect_list("members"))
+                ).alias("ns")
+            )
+            .select("query_id", F.explode("ns").alias("neighbor_id"))
+        )
+        if exclude_self:
+            cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    else:
+        cand = q_buckets.join(c_buckets, "bucket_key")
+        if exclude_self:
+            cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+        cand = cand.select("query_id", "neighbor_id").distinct()
     scored = (
         cand.join(q.select("query_id", "qvec"), "query_id")
         .join(c.withColumnsRenamed({"vec_id": "neighbor_id", "nvec": "nvec"}),
@@ -470,7 +526,27 @@ def ivf_cosine_topk(
         F.get(assign_udf("nvec"), 0).alias("cell"),
     )
     q_cells = q.select("query_id", F.explode(probe_udf("qvec")).alias("cell"))
-    cand = q_cells.join(c_cells, "cell")
+    if _plan_size_bytes(corpus) <= ANN_BROADCAST_INDEX_BYTES:
+        # Broadcast-inverted-lists plan (r7): the cell join has at most
+        # n_cells distinct keys, so the shuffle plan caps parallelism at
+        # n_cells and is skew-prone (hot cells). When the corpus fits the
+        # broadcast budget, group the inverted lists once (n_cells rows),
+        # broadcast them, and repartition only the slim probe rows by
+        # query_id — cells are disjoint (one per corpus vector) and probes
+        # are distinct, so exploding members reproduces exactly the same
+        # candidate rows with no pair-level exchange; the query_id layout
+        # is reused by the top-k window (no further exchange).
+        cc_g = c_cells.groupBy("cell").agg(
+            F.collect_list("neighbor_id").alias("members")
+        )
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        cand = (
+            q_cells.repartition(par, "query_id")
+            .join(F.broadcast(cc_g), "cell")
+            .select("query_id", F.explode("members").alias("neighbor_id"))
+        )
+    else:
+        cand = q_cells.join(c_cells, "cell")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     cand = cand.select("query_id", "neighbor_id")
