@@ -257,7 +257,12 @@ def q_doc_lang_profile(spark, sf_dir):
 
 
 def q_doc_quality(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    from .functions.layout import ensure_min_partitions
+
+    # single-row-group documents file -> one scan task; the per-row regex
+    # extraction is the whole query, so spread it (row-wise outputs,
+    # partitioning-independent)
+    d = ensure_min_partitions(_docs(spark, sf_dir))
     text = F.col("text")
     words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), 0)
     n_chars = F.length(text)
@@ -395,6 +400,12 @@ def q_events_json(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
+    # NOTE (r7): the sf* lineitem is one parquet row group, so this scan
+    # is a single task — but spreading it first was MEASURED SLOWER
+    # (interleaved A/B med 1.63s vs 1.24s): the map-side partial
+    # aggregation already collapses 600k rows to 6 per partition, so a
+    # pre-aggregation shuffle of raw rows costs more than the serial
+    # partial-agg it saves. Left as-is deliberately.
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
