@@ -456,6 +456,11 @@ def make_fused_signature_udf(
 
         sh_out, mh_out, fp_out, pos_out = [], [], [], []
         sim_out = np.zeros(len(content), dtype=np.int64)
+        # one MinHash work buffer reused across the batch (r7): the
+        # (n_shingles, num_perm) product matrix was reallocated per row —
+        # multi-MB mallocs per document dominated the kernel in profiling.
+        # Values are bit-identical (same uint64 wrap-around multiply-add).
+        mh_buf = np.empty((0, num_perm), dtype=np.uint64)
         for i, text in enumerate(content):
             n = int(lens[i])
             if n == 0:
@@ -478,10 +483,21 @@ def make_fused_signature_udf(
                 sh = np.unique(acc).astype(np.int64)
                 sh_out.append(sh)
                 s = sh.astype(np.uint64)
-                hashed = s[:, None] * a_co[None, :] + b_co[None, :]
+                ns = len(s)
+                if mh_buf.shape[0] < ns:
+                    mh_buf = np.empty((ns, num_perm), dtype=np.uint64)
+                hashed = mh_buf[:ns]
+                np.multiply(s[:, None], a_co[None, :], out=hashed)
+                hashed += b_co[None, :]
                 mh_out.append(hashed.min(axis=0).astype(np.int64))
-                bits_m = (s[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = 2 * bits_m.astype(np.int64).sum(axis=0) - len(s)
+                # SimHash bit matrix via unpackbits over the little-endian
+                # byte view — 8x less memory traffic than the 64-wide
+                # uint64 shift matrix, identical bit values (bit j of s
+                # lands in column j exactly as with (s >> j) & 1)
+                bits_m = np.unpackbits(
+                    s.view(np.uint8).reshape(ns, 8), axis=1, bitorder="little"
+                )
+                votes = 2 * bits_m.sum(axis=0, dtype=np.int64) - ns
                 sig_bits = (votes > 0).astype(np.uint64)
                 sim_out[i] = (
                     (sig_bits << bit_idx).sum(dtype=np.uint64).astype(np.int64)

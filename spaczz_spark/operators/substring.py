@@ -50,6 +50,29 @@ _B = np.uint64(1099511628211)  # FNV-ish odd multiplier for the rolling hash
 
 _B_INV = np.uint64(pow(int(_B), -1, 2**64))  # B is odd, so invertible mod 2^64
 
+# Cached power tables for the rolling hash (r7): B^j and B^-j mod 2^64 are
+# CONSTANT sequences, but the previous code re-ran both cumprods for every
+# document — two O(len) passes of pure recomputation per row, in the UDF
+# that profiling showed dominates the fused signature kernel. The tables
+# grow on demand (same uint64 wrap-around cumprod recurrence, so values
+# are bit-identical to the per-row computation) and are shared by every
+# call in the worker process.
+_POW_TABLES: dict[int, np.ndarray] = {}
+
+
+def _pow_table(base: np.uint64, n: int) -> np.ndarray:
+    """First ``n`` powers of ``base`` mod 2^64 (tbl[j] = base**j)."""
+    key = int(base)
+    tbl = _POW_TABLES.get(key)
+    if tbl is None or len(tbl) < n:
+        size = max(n, 4096, 0 if tbl is None else 2 * len(tbl))
+        with np.errstate(over="ignore"):
+            new = np.empty(size, dtype=np.uint64)
+            new[0] = 1
+            np.cumprod(np.full(size - 1, base, dtype=np.uint64), out=new[1:])
+        _POW_TABLES[key] = tbl = new
+    return tbl
+
 
 def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
     """uint64 hashes of all k-grams of ``data`` — O(len) prefix form.
@@ -71,17 +94,13 @@ def _kgram_hashes(data: bytes, k: int) -> np.ndarray:
         arr = np.pad(arr, (0, k - len(arr)), constant_values=0)
     n = len(arr)
     with np.errstate(over="ignore"):
-        inv_pows = np.empty(n, dtype=np.uint64)
-        inv_pows[0] = 1
-        np.cumprod(np.full(n - 1, _B_INV, dtype=np.uint64), out=inv_pows[1:])
+        # powers come from the shared cached tables (bit-identical values,
+        # no per-row cumprod recomputation — see _pow_table)
+        inv_pows = _pow_table(_B_INV, n)[:n]
         prefix = np.zeros(n + 1, dtype=np.uint64)
         np.cumsum(arr.astype(np.uint64) * inv_pows, out=prefix[1:])
-        fwd_pows = np.empty(n - k + 1, dtype=np.uint64)
-        fwd_pows[0] = (int(_B) ** (k - 1)) & 0xFFFFFFFFFFFFFFFF
-        if len(fwd_pows) > 1:
-            np.cumprod(np.full(len(fwd_pows) - 1, _B, dtype=np.uint64),
-                       out=fwd_pows[1:])
-            fwd_pows[1:] *= fwd_pows[0]
+        # fwd_pows[i] = B^(k-1+i): a slice of the cached B-power table
+        fwd_pows = _pow_table(_B, n)[k - 1 : n]
         h = (prefix[k:] - prefix[:-k]) * fwd_pows
     # final mix so low bytes influence high bits
     h ^= h >> np.uint64(33)
