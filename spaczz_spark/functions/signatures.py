@@ -389,6 +389,13 @@ def make_fused_signature_udf(
     ``tests/test_fused_signatures.py`` (same uint64 k-gram accumulator,
     same ``np.unique``/int64 reinterpretation, same multiply-shift
     MinHash and bit-vote SimHash kernels).
+
+    Memory note (ADVICE r6): the batch kernel materializes the whole Arrow
+    batch's token stream (token lists + the flattened array fed to
+    ``pd.factorize``) before processing. That is sized for the pipeline's
+    1024-row ``arrow.maxRecordsPerBatch`` default; if the batch cap is
+    ever raised substantially for this stage, chunk the factorize step or
+    expect a per-worker memory cliff on large files.
     """
     import hashlib
     import re as _re
@@ -538,7 +545,20 @@ def with_fused_signatures(
     """Add all signature columns via the single-pass fused UDF (see
     :func:`make_fused_signature_udf`). With ``fp_k`` set, also adds
     ``fingerprints`` (with the winnowing-parameter metadata that
-    ``substring_candidates`` validates) and ``fp_positions``."""
+    ``substring_candidates`` validates) and ``fp_positions``.
+
+    The three fingerprint knobs travel together: a partial set would only
+    fail deep inside the executor UDF (TypeError on a None comparison), so
+    it is rejected eagerly here (ADVICE r6).
+    """
+    fp_args = (fp_k, fp_w, fp_min_bytes)
+    if any(v is not None for v in fp_args) and not all(
+        v is not None for v in fp_args
+    ):
+        raise ValueError(
+            "fp_k, fp_w and fp_min_bytes must be set together "
+            f"(got fp_k={fp_k}, fp_w={fp_w}, fp_min_bytes={fp_min_bytes})"
+        )
     udf = make_fused_signature_udf(k, num_perm, seed, fp_k, fp_w, fp_min_bytes)
     cols = {
         "shingles": F.col("_sig.shingles"),

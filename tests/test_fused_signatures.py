@@ -111,3 +111,12 @@ def test_fused_single_python_eval_node(sig_input):
     ).select("file_id", "shingles", "minhash", "simhash", "fingerprints")
     cplan = composed._jdf.queryExecution().executedPlan().toString()
     assert cplan.count("ArrowEvalPython") >= 2, cplan
+
+
+def test_partial_fingerprint_params_rejected_eagerly(sig_input):
+    """ADVICE r6: a partial (fp_k, fp_w, fp_min_bytes) set must fail at
+    plan-build time, not deep inside the executor UDF."""
+    with pytest.raises(ValueError, match="must be set together"):
+        with_fused_signatures(sig_input, 3, 128, 42, fp_k=32)
+    with pytest.raises(ValueError, match="must be set together"):
+        with_fused_signatures(sig_input, 3, 128, 42, fp_k=32, fp_w=32)
