@@ -42,21 +42,42 @@ def main():
 
     sections = []
 
+    import spaczz_spark.operators.lsh as lsh
+
     files = Q._files(spark, sf)
     sig = with_fused_signatures(normalize(files))
+    # Full dataflow view: disable the sized-table materialization so the
+    # audit shows the complete explode -> exchange -> window -> tiered-join
+    # shape in one plan (in production the part up to and including the
+    # Window is materialized ONCE via localCheckpoint and the tier joins
+    # read the checkpointed RDD — see the executed view below).
+    lsh.MATERIALIZE_SIZED = False
+    cand_full = minhash_candidates(sig, dedup=False)
+    full_plan = grab(cand_full)
+    lsh.MATERIALIZE_SIZED = True
     cand = minhash_candidates(sig, dedup=False)
     sections.append((
-        "MinHash LSH candidates (normalize -> fused signature UDF -> "
-        "band explode -> bucket window -> tiered pair joins)",
+        "MinHash LSH candidates — full dataflow (normalize -> fused "
+        "signature UDF -> band explode -> bucket window -> tiered pair "
+        "joins; sized-table materialization disabled for this view)",
         "Check: exactly ONE ArrowEvalPython node computes every per-row "
         "signature (the composed shingle->minhash/simhash chain would be "
-        "two pipelined Python runners per task - the deadlock shape); "
-        "one Exchange on the bucket key reused by the sizing window and "
-        "the tiered self-joins (window impl - it beat the grouped-array "
-        "aggregation 2.4-3.7x at scale4 and scales better, see "
-        "BENCH/profile_candidates_scale4.json); oversized buckets go "
-        "through the salted mid / star tiers; scan reads only the "
-        "needed columns.",
+        "two pipelined Python runners per task - the deadlock shape); one "
+        "Exchange on the bucket key feeds the sizing window (window impl "
+        "- it beat the grouped-array aggregation 2.4-3.7x at scale4 and "
+        "scales better, see BENCH/profile_candidates_scale4.json); "
+        "oversized buckets go through the salted mid / star tiers; scan "
+        "reads only the needed columns.",
+        full_plan,
+    ))
+    sections.append((
+        "MinHash LSH candidates — executed shape (sized table "
+        "localCheckpointed once, r7)",
+        "Check: the signature UDF + explode + exchange + window run ONCE "
+        "in the materialization job; this plan's tier joins read the "
+        "checkpointed RDD (Scan ExistingRDD) instead of recomputing the "
+        "window subtree per tier reference (5x before r7), and the small "
+        "tier self-joins it via BroadcastHashJoin.",
         grab(cand),
     ))
 
@@ -122,10 +143,16 @@ def main():
     sections.append((
         "Multiprobe LSH top-k ANN (emb_topk_ann)",
         "Check: corpus and query sides each pass through ONE "
-        "ArrowEvalPython (sketch/probe UDFs); candidates come from a "
-        "shuffled-hash/sort-merge join on the bucket key (no broadcast of "
-        "the corpus, no nested-loop cross); exact cosine stays in codegen; "
-        "one window Exchange for the per-query rank.",
+        "ArrowEvalPython (sketch/probe UDFs). Broadcast-sized corpora "
+        "(r7): the grouped inverted index (bucket -> members) broadcasts, "
+        "only the slim probe rows shuffle (repartition by query_id), "
+        "per-query array_distinct dedupes with no pair-level exchange, "
+        "and the rank window is fed either by the query_id layout or (as "
+        "here, at audit scale) by a broadcast of the whole candidate "
+        "table, with WindowGroupLimit pruning to k rows per partition "
+        "before the rank Exchange. Above the broadcast budget the former "
+        "shuffle join on the bucket key is kept (no broadcast of the "
+        "corpus, no nested-loop cross). Exact cosine stays in codegen.",
         grab(Q.q_emb_topk_ann(spark, sf)),
     ))
 

@@ -242,7 +242,14 @@ def score_pairs_slim(
             & ((F.col("jaccard") >= jaccard_floor) | (union_sz == 0)),
         )
         .select("a_id", "b_id", "stage", "jaccard", "sha_eq", "kernel_band")
-        .localCheckpoint()
+        # LAZY checkpoint (r7): both consumers (decided_pairs,
+        # kernel_pairs) still evaluate the slim join exactly once — the
+        # checkpointed RDD is persisted on first computation and the
+        # second consumer reads the stored blocks — but the
+        # materialization now happens INSIDE the verify stage's single
+        # write job, where the decided/kernel/substring branches overlap
+        # (guide §2.6), instead of as a separate serial job up front.
+        .localCheckpoint(eager=False)
     )
 
 

@@ -255,31 +255,42 @@ class DedupPipeline:
 
         # ---- candidates (three sources, ONE resumable checkpoint) ----------
         def build_candidates():
-            mh = minhash_candidates(
-                signatures, cfg.bands, cfg.rows, cfg.bucket_cap, dedup=False
-            )
-            sh = simhash_candidates(
-                signatures, cfg.max_hamming, cfg.bucket_cap, dedup=False
-            )
+            # The three bucket sources each materialize their sized table
+            # eagerly (operators/lsh.py); building them from a small thread
+            # pool overlaps those independent jobs so one source's shuffle
+            # tail back-fills cores for the next (guide §2.6) instead of
+            # running three materializations end-to-end.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_mh = pool.submit(
+                    minhash_candidates, signatures, cfg.bands, cfg.rows,
+                    cfg.bucket_cap, dedup=False,
+                )
+                f_sh = pool.submit(
+                    simhash_candidates, signatures, cfg.max_hamming,
+                    cfg.bucket_cap, dedup=False,
+                )
+                # NOTE: substring candidates are NOT anti-joined against the
+                # set-similarity candidates — a pair can band-collide in
+                # MinHash (likely even at Jaccard ~0.25), fail Jaccard/edit
+                # verification there, and still be a true verbatim-
+                # containment duplicate that only the containment verifier
+                # can accept. Both rows survive; the verified union keeps
+                # the best record per pair.
+                f_sub = pool.submit(
+                    substring_candidates, signatures,
+                    k=cfg.substring_k, w=cfg.substring_w,
+                    bucket_cap=cfg.bucket_cap,
+                    min_bytes=cfg.substring_min_len,
+                )
+                mh, sh, sub = f_mh.result(), f_sh.result(), f_sub.result()
             # one row per (pair, source-stage); set-similarity pairs deduped
             # with minhash taking precedence (M4: union of match sources)
             sim = (
                 mh.unionByName(sh)
                 .groupBy("a_id", "b_id")
                 .agg(F.min("stage").alias("stage"))
-            )
-            # NOTE: substring candidates are NOT anti-joined against the
-            # set-similarity candidates — a pair can band-collide in MinHash
-            # (likely even at Jaccard ~0.25), fail Jaccard/edit verification
-            # there, and still be a true verbatim-containment duplicate that
-            # only the containment verifier can accept. Both rows survive;
-            # the verified union keeps the best record per pair.
-            sub = substring_candidates(
-                signatures,
-                k=cfg.substring_k,
-                w=cfg.substring_w,
-                bucket_cap=cfg.bucket_cap,
-                min_bytes=cfg.substring_min_len,
             )
             return sim.unionByName(sub)
 
