@@ -213,6 +213,11 @@ class DedupPipeline:
                 F.lit(100).alias("edit_ratio"),
                 F.lit("sha").alias("verified_by"),
             )
+            # lazily persisted (r7): referenced by BOTH the CC edge union
+            # and the provenance union in the components stage — computed
+            # once on first use (the CC input checkpoint job), read back
+            # by the stage write job
+            .localCheckpoint(eager=False)
         )
 
         # ---- signatures -----------------------------------------------------
