@@ -59,18 +59,41 @@ _B_INV = np.uint64(pow(int(_B), -1, 2**64))  # B is odd, so invertible mod 2^64
 # call in the worker process.
 _POW_TABLES: dict[int, np.ndarray] = {}
 
+# Cached tables are capped so one pathological multi-MB document cannot
+# pin a table of its own length in every reused worker process forever
+# (8 B/entry: the cap is an 8 MB ceiling per base); longer inputs compute
+# their tails fresh, which is the pre-cache behavior.
+_POW_CACHE_MAX = 1 << 20
+
 
 def _pow_table(base: np.uint64, n: int) -> np.ndarray:
     """First ``n`` powers of ``base`` mod 2^64 (tbl[j] = base**j)."""
     key = int(base)
     tbl = _POW_TABLES.get(key)
-    if tbl is None or len(tbl) < n:
-        size = max(n, 4096, 0 if tbl is None else 2 * len(tbl))
+    if tbl is None or len(tbl) < min(n, _POW_CACHE_MAX):
+        size = min(
+            max(n, 4096, 0 if tbl is None else 2 * len(tbl)),
+            _POW_CACHE_MAX,
+        )
         with np.errstate(over="ignore"):
             new = np.empty(size, dtype=np.uint64)
             new[0] = 1
             np.cumprod(np.full(size - 1, base, dtype=np.uint64), out=new[1:])
         _POW_TABLES[key] = tbl = new
+    if n > len(tbl):
+        # rare oversized input: extend past the cached prefix without
+        # caching the tail (same recurrence, bit-identical values)
+        with np.errstate(over="ignore"):
+            out = np.empty(n, dtype=np.uint64)
+            out[: len(tbl)] = tbl
+            np.cumprod(
+                np.full(n - len(tbl), base, dtype=np.uint64),
+                out=out[len(tbl) :],
+            )
+            out[len(tbl) :] *= tbl[-1]
+            # cumprod gives base^1..base^(n-len); shift by tbl[-1] =
+            # base^(len-1) so out[j] = base^j exactly
+        return out
     return tbl
 
 

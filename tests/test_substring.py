@@ -581,3 +581,55 @@ def test_winnow_identical_across_argmin_paths(monkeypatch):
     for (v1, p1), (v2, p2) in zip(base, forced):
         assert np.array_equal(v1, v2)
         assert np.array_equal(p1, p2)
+
+
+def test_kgram_hashes_match_naive_and_pow_cache_tail():
+    """r7: the rolling hash's cached power tables (and the over-cap tail
+    extension) must be bit-identical to the direct windowed formula."""
+    import numpy as np
+
+    from spaczz_spark.operators import substring as S
+
+    rng = np.random.RandomState(7)
+
+    def naive(data: bytes, k: int) -> np.ndarray:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if len(arr) < k:
+            arr = np.pad(arr, (0, k - len(arr)), constant_values=0)
+        with np.errstate(over="ignore"):
+            pows = np.empty(k, dtype=np.uint64)
+            pows[0] = 1
+            np.cumprod(np.full(k - 1, S._B, dtype=np.uint64), out=pows[1:])
+            pows = pows[::-1].copy()
+            n = len(arr) - k + 1
+            h = np.zeros(n, dtype=np.uint64)
+            a = arr.astype(np.uint64)
+            for j in range(k):
+                h += a[j : j + n] * pows[j]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return h
+
+    for size, k in [(1, 32), (31, 32), (200, 32), (5000, 16), (4096, 64)]:
+        data = bytes(rng.randint(0, 256, size=size, dtype=np.uint8))
+        assert (S._kgram_hashes(data, k) == naive(data, k)).all(), (size, k)
+
+    # exceed the cache cap so the uncached tail-extension path runs
+    old_cap = S._POW_CACHE_MAX
+    S._POW_CACHE_MAX = 1024
+    S._POW_TABLES.clear()
+    try:
+        data = bytes(rng.randint(0, 256, size=3000, dtype=np.uint8))
+        assert (S._kgram_hashes(data, 32) == naive(data, 32)).all()
+        tbl = S._pow_table(S._B, 2500)
+        assert len(tbl) == 2500
+        with np.errstate(over="ignore"):
+            want = np.empty(2500, dtype=np.uint64)
+            want[0] = 1
+            np.cumprod(np.full(2499, S._B, dtype=np.uint64), out=want[1:])
+        assert (tbl == want).all()
+        assert len(S._POW_TABLES[int(S._B)]) <= 1024
+    finally:
+        S._POW_CACHE_MAX = old_cap
+        S._POW_TABLES.clear()
