@@ -64,6 +64,10 @@ def _verifies(s):
     _, min_r2, _ = cfg.resolved_ratios()
     signatures = s.read.parquet(os.path.join(CKPT, "signatures"))
     candidates = s.read.parquet(os.path.join(CKPT, "candidate_pairs"))
+    # r7: signatures checkpoint is content-less; text comes from normalized
+    content_df = s.read.parquet(
+        os.path.join(CKPT, "normalized")
+    ).select("file_id", "content")
     v1 = verify_pairs(
         candidates.where(F.col("stage") != "substring"),
         signatures,
@@ -71,6 +75,7 @@ def _verifies(s):
         jaccard_min=cfg.jaccard_min,
         jaccard_floor=cfg.jaccard_floor,
         ratio_func=cfg.ratio_func,
+        content_df=content_df,
     )
     v2 = verify_substring_pairs(
         candidates.where(F.col("stage") == "substring"),
@@ -78,6 +83,7 @@ def _verifies(s):
         min_len=cfg.substring_min_len,
         min_partial=min_r2 if cfg.substring_partial else None,
         k=cfg.substring_k,
+        content_df=content_df,
     )
     return v1, v2
 

@@ -51,10 +51,13 @@ def main():
     # shape in one plan (in production the part up to and including the
     # Window is materialized ONCE via localCheckpoint and the tier joins
     # read the checkpointed RDD — see the executed view below).
+    _saved_mat = lsh.MATERIALIZE_SIZED
     lsh.MATERIALIZE_SIZED = False
-    cand_full = minhash_candidates(sig, dedup=False)
-    full_plan = grab(cand_full)
-    lsh.MATERIALIZE_SIZED = True
+    try:
+        cand_full = minhash_candidates(sig, dedup=False)
+        full_plan = grab(cand_full)
+    finally:
+        lsh.MATERIALIZE_SIZED = _saved_mat
     cand = minhash_candidates(sig, dedup=False)
     sections.append((
         "MinHash LSH candidates — full dataflow (normalize -> fused "

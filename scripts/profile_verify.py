@@ -91,6 +91,12 @@ def profile_level(cores: int) -> dict:
     try:
         signatures = s.read.parquet(os.path.join(CKPT, "signatures"))
         candidates = s.read.parquet(os.path.join(CKPT, "candidate_pairs"))
+        # r7: the signatures checkpoint no longer carries `content`; the
+        # kernel/phase-B joins read it from the committed normalized table,
+        # exactly as the production verify stage does (content_df)
+        content_df = s.read.parquet(
+            os.path.join(CKPT, "normalized")
+        ).select("file_id", "content")
         sim_cand = candidates.where(F.col("stage") != "substring")
 
         t0 = time.time()
@@ -109,7 +115,7 @@ def profile_level(cores: int) -> dict:
 
         t0 = time.time()
         kernel_kept = kernel_pairs(
-            scored, signatures, min_r2=min_r2, ratio_func=cfg.ratio_func
+            scored, content_df, min_r2=min_r2, ratio_func=cfg.ratio_func
         ).localCheckpoint()
         out["kernel_sec"] = round(time.time() - t0, 2)
 
@@ -153,6 +159,7 @@ def profile_level(cores: int) -> dict:
             min_len=cfg.substring_min_len,
             min_partial=min_r2 if cfg.substring_partial else None,
             k=cfg.substring_k,
+            content_df=content_df,
         ).count()
         out["n_sub_verified"] = n_sub
         out["sub_fused_sec"] = round(time.time() - t0, 2)

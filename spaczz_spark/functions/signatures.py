@@ -50,6 +50,10 @@ SHINGLE_SEP = "\x1f"
 
 _MERSENNE_61 = np.uint64((1 << 61) - 1)
 
+import sys as _sys
+
+_LITTLE_ENDIAN = _sys.byteorder == "little"
+
 
 def normalize(files: DataFrame) -> DataFrame:
     """Add stable ids and the sha256 per-row invariant column.
@@ -500,11 +504,19 @@ def make_fused_signature_udf(
                 # SimHash bit matrix via unpackbits over the little-endian
                 # byte view — 8x less memory traffic than the 64-wide
                 # uint64 shift matrix, identical bit values (bit j of s
-                # lands in column j exactly as with (s >> j) & 1)
-                bits_m = np.unpackbits(
-                    s.view(np.uint8).reshape(ns, 8), axis=1, bitorder="little"
-                )
-                votes = 2 * bits_m.sum(axis=0, dtype=np.int64) - ns
+                # lands in column j exactly as with (s >> j) & 1). The
+                # byte-view trick assumes native little-endian; any other
+                # host keeps the endian-independent shift kernel so
+                # signatures stay identical across architectures.
+                if _LITTLE_ENDIAN:
+                    bits_m = np.unpackbits(
+                        s.view(np.uint8).reshape(ns, 8), axis=1,
+                        bitorder="little",
+                    )
+                    votes = 2 * bits_m.sum(axis=0, dtype=np.int64) - ns
+                else:  # pragma: no cover - non-x86 fallback
+                    bits_m = (s[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                    votes = 2 * bits_m.astype(np.int64).sum(axis=0) - ns
                 sig_bits = (votes > 0).astype(np.uint64)
                 sim_out[i] = (
                     (sig_bits << bit_idx).sum(dtype=np.uint64).astype(np.int64)

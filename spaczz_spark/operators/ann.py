@@ -157,6 +157,19 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _index_fits_broadcast(
+    corpus: DataFrame, dim: int, entries_per_row: int
+) -> bool:
+    """Gate the broadcast-index plan on the estimated size of the INDEX
+    (rows x entries_per_row x ~16 B per (key, id) entry), not the raw
+    corpus bytes — a low-dim corpus can be small on disk while its
+    multi-table inverted index is large, and vice versa. Row count is
+    derived from the plan-stat size over the known per-row vector width;
+    unknown stats map to huge (shuffle plan)."""
+    est_rows = _plan_size_bytes(corpus) / max(dim * 4 + 8, 1)
+    return est_rows * entries_per_row * 16 <= ANN_BROADCAST_INDEX_BYTES
+
+
 def _plane_matrix(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
     """Deterministic (dim, n_tables*n_bits) Gaussian hyperplane matrix —
     shared by the corpus sketch and the query multiprobe UDFs so both sides
@@ -300,7 +313,7 @@ def lsh_cosine_topk(
     q_buckets = q.select(
         "query_id", F.explode(probe("qvec")).alias("bucket_key")
     )
-    if _plan_size_bytes(corpus) <= ANN_BROADCAST_INDEX_BYTES:
+    if _index_fits_broadcast(corpus, dim, n_tables):
         # Broadcast-index plan (r7, guide §3.1/§2.4): with a dense bucket
         # config the exploded bucket join emits tables*(1+probes)*|bucket|
         # rows per query (24.5M rows for 2,000 vectors at the production
@@ -526,7 +539,7 @@ def ivf_cosine_topk(
         F.get(assign_udf("nvec"), 0).alias("cell"),
     )
     q_cells = q.select("query_id", F.explode(probe_udf("qvec")).alias("cell"))
-    if _plan_size_bytes(corpus) <= ANN_BROADCAST_INDEX_BYTES:
+    if _index_fits_broadcast(corpus, centroids.shape[1], 1):
         # Broadcast-inverted-lists plan (r7): the cell join has at most
         # n_cells distinct keys, so the shuffle plan caps parallelism at
         # n_cells and is skew-prone (hot cells). When the corpus fits the

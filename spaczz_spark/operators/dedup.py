@@ -130,8 +130,14 @@ def ngram_jaccard_pairs(
     )
     # materialized once (r7): `sh` feeds the per-doc sizes aggregate AND
     # both sides of the self-join; the interpreted tokenize+shingle
-    # transform is the expensive part and ran once per consumer subtree
-    sh = sh.localCheckpoint()
+    # transform is the expensive part and ran once per consumer subtree.
+    # LAZY so the persist happens inside the consuming job (no extra
+    # serial job at operator-call time). Footprint note: the exploded
+    # string table is ~k x the corpus text — comparable to ONE of the two
+    # shuffle copies this operator's self-join writes anyway, and this
+    # operator is the documented brute-force/oracle path (minhash LSH is
+    # the scale path).
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("a")

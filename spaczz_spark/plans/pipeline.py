@@ -267,15 +267,28 @@ class DedupPipeline:
             # running three materializations end-to-end.
             from concurrent.futures import ThreadPoolExecutor
 
+            def labeled(fn, *args, **kwargs):
+                # job-group properties are per-Python-thread under pinned
+                # thread mode, so the label must be (re)set INSIDE the
+                # pool thread or the eager materialization jobs — exactly
+                # where this stage's wall time goes — show unlabeled
+                def run():
+                    self.spark.sparkContext.setJobDescription(
+                        "stage:candidate_pairs"
+                    )
+                    return fn(*args, **kwargs)
+
+                return run
+
             with ThreadPoolExecutor(max_workers=3) as pool:
-                f_mh = pool.submit(
+                f_mh = pool.submit(labeled(
                     minhash_candidates, signatures, cfg.bands, cfg.rows,
                     cfg.bucket_cap, dedup=False,
-                )
-                f_sh = pool.submit(
+                ))
+                f_sh = pool.submit(labeled(
                     simhash_candidates, signatures, cfg.max_hamming,
                     cfg.bucket_cap, dedup=False,
-                )
+                ))
                 # NOTE: substring candidates are NOT anti-joined against the
                 # set-similarity candidates — a pair can band-collide in
                 # MinHash (likely even at Jaccard ~0.25), fail Jaccard/edit
@@ -283,12 +296,12 @@ class DedupPipeline:
                 # containment duplicate that only the containment verifier
                 # can accept. Both rows survive; the verified union keeps
                 # the best record per pair.
-                f_sub = pool.submit(
+                f_sub = pool.submit(labeled(
                     substring_candidates, signatures,
                     k=cfg.substring_k, w=cfg.substring_w,
                     bucket_cap=cfg.bucket_cap,
                     min_bytes=cfg.substring_min_len,
-                )
+                ))
                 mh, sh, sub = f_mh.result(), f_sh.result(), f_sub.result()
             # one row per (pair, source-stage); set-similarity pairs deduped
             # with minhash taking precedence (M4: union of match sources)

@@ -82,6 +82,14 @@ class CheckpointCatalog:
         # then runs the Arrow UDF), so repartitioning here would shuffle
         # the 3-5x fatter output a second time for nothing (guide §2.3:
         # shuffle the lightweight proxy, not the payload).
+        #
+        # Trade-off, accepted deliberately: a prepartitioned stage whose
+        # final exchange AQE coalesced may commit as 1-2 files at bench
+        # sizes. That is only safe for tables whose downstream consumers
+        # immediately re-shuffle (pair tables feed joins; components feeds
+        # aggregates) — a stage feeding a UDF directly (normalized ->
+        # signatures) must keep the explicit N-way repartition, which is
+        # why `normalized` does not pass prepartitioned.
         n_out = self.spark.sparkContext.defaultParallelism
         if not prepartitioned:
             if "file_id" in df.columns:
